@@ -1,0 +1,36 @@
+"""polars_genson_spark — a PySpark-native schema-inference and constraint
+validation engine with the capabilities of lmmx/polars-genson, generalised
+to large-scale pre-tokenized training corpora.
+
+Public API (mirrors the reference's entry points, SURVEY.md §2.9):
+
+- infer_json_schema(df, col, config)      — merged JSON Schema
+- infer_spark_schema(df, col, config)     — pyspark StructType
+- normalise_json(df, col, ...)            — schema-enforced JSON column
+- validate_corpus(df, ...)                — per-partition verdicts + violations
+"""
+
+from .config import InferenceConfig, NormaliseConfig, ValidationConfig
+from .operators.infer import (
+    InferenceResult,
+    SchemaInferenceError,
+    infer_json_schema,
+    infer_spark_schema,
+)
+from .operators.normalise_op import normalise_json, normalise_json_with_result
+from .session import get_spark
+
+__all__ = [
+    "InferenceConfig",
+    "NormaliseConfig",
+    "ValidationConfig",
+    "InferenceResult",
+    "SchemaInferenceError",
+    "infer_json_schema",
+    "infer_spark_schema",
+    "normalise_json",
+    "normalise_json_with_result",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,222 @@
+"""Row normalisation against an Avro schema — the validation/enforcement
+kernel.
+
+Pure-Python recursive function applied per document inside a vectorized
+pandas UDF (one call per Arrow batch, orjson/json parse per doc inside the
+batch — matching the reference's per-doc parse inside a rayon chunk).
+
+Behavioural port of ``normalise_value``
+(/root/reference/genson-core/src/normalise.rs:140-315) including:
+
+- null preservation for primitives; failed parses → null
+- optional string coercion ("42"→42) when ``coerce_string``
+- records: exact field set, missing→null, extras dropped, promoted
+  ``{field}__{type}`` scalar matching (normalise.rs:193-221)
+- arrays: scalar→singleton wrap, empty→null when ``empty_as_null``
+- maps: per-entry recursion, kv/entries/mapping encodings
+  (normalise.rs:41-56), scalar fallback → promoted single-entry object
+- unions: null-preserving, else first non-null branch (normalise.rs:296-310)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from ..config import (
+    MAP_ENCODING_ENTRIES,
+    MAP_ENCODING_KV,
+    MAP_ENCODING_MAPPING,
+    NormaliseConfig,
+)
+from .rewrite import make_promoted_scalar_key
+
+Json = Any
+
+
+def _apply_map_encoding(m: dict[str, Json], encoding: str) -> Json:
+    if encoding == MAP_ENCODING_MAPPING:
+        return m
+    if encoding == MAP_ENCODING_ENTRIES:
+        return [{k: v} for k, v in m.items()]
+    if encoding == MAP_ENCODING_KV:
+        return [{"key": k, "value": v} for k, v in m.items()]
+    raise ValueError(f"unknown map encoding: {encoding}")
+
+
+def _scalar_type_of(value: Json) -> str:
+    if isinstance(value, str):
+        return "string"
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, int):
+        return "int"
+    if isinstance(value, float):
+        return "float"
+    return "unknown"
+
+
+def normalise_value(
+    value: Json,
+    schema: Json,
+    cfg: NormaliseConfig,
+    field_name: Optional[str] = None,
+) -> Json:
+    # Primitive types
+    if isinstance(schema, str):
+        t = schema
+        if t == "string":
+            if value is None:
+                return None
+            if isinstance(value, str):
+                return value
+            # non-string → canonical JSON text (serde to_string parity:
+            # bools→"true"/"false", numbers via repr)
+            if isinstance(value, bool):
+                return "true" if value else "false"
+            import json as _json
+
+            return _json.dumps(value, separators=(",", ":"))
+        if t in ("int", "long"):
+            if value is None:
+                return None
+            if isinstance(value, bool):
+                return None
+            if isinstance(value, int):
+                return value
+            if isinstance(value, str) and cfg.coerce_string:
+                try:
+                    return int(value)
+                except ValueError:
+                    return None
+            return None
+        if t in ("double", "float"):
+            if value is None:
+                return None
+            if isinstance(value, float):
+                return value
+            if isinstance(value, str) and cfg.coerce_string:
+                try:
+                    return float(value)
+                except ValueError:
+                    return None
+            return None
+        if t == "boolean":
+            if value is None:
+                return None
+            if isinstance(value, bool):
+                return value
+            if isinstance(value, str) and cfg.coerce_string:
+                if value in ("true", "1"):
+                    return True
+                if value in ("false", "0"):
+                    return False
+                return None
+            return None
+        if t == "null":
+            return None
+        return value
+
+    # Union
+    if isinstance(schema, list):
+        if "null" in schema:
+            if value is None:
+                return None
+            branch = next(t for t in schema if t != "null")
+            return normalise_value(value, branch, cfg, field_name)
+        if schema:
+            return normalise_value(value, schema[0], cfg, field_name)
+        return value
+
+    if not isinstance(schema, dict):
+        return value
+
+    stype = schema.get("type")
+
+    # Record
+    if stype == "record":
+        out: dict[str, Json] = {}
+        for f in schema.get("fields", []):
+            name = f.get("name")
+            field_schema = f.get("type")
+            if name is None or field_schema is None:
+                continue
+            if isinstance(value, dict):
+                val = value.get(name)
+            else:
+                # scalar promotion: scalar collides with record
+                # (normalise.rs:193-221)
+                val = None
+                if "__" in name:
+                    type_suffix = name.rsplit("__", 1)[-1]
+                    matches = (
+                        (isinstance(value, str) and type_suffix == "string")
+                        or (
+                            isinstance(value, bool)
+                            and type_suffix == "boolean"
+                        )
+                        or (
+                            isinstance(value, (int, float))
+                            and not isinstance(value, bool)
+                            and type_suffix
+                            in (
+                                "int",
+                                "integer",
+                                "long",
+                                "float",
+                                "double",
+                                "number",
+                            )
+                        )
+                    )
+                    if matches:
+                        val = value
+            out[name] = normalise_value(val, field_schema, cfg, name)
+        return out
+
+    # Array
+    if stype == "array":
+        items_schema = schema.get("items", "string")
+        if value is None:
+            return None
+        if isinstance(value, list):
+            if not value and cfg.empty_as_null:
+                return None
+            return [
+                normalise_value(v, items_schema, cfg, field_name)
+                for v in value
+            ]
+        return [normalise_value(value, items_schema, cfg, field_name)]
+
+    # Map
+    if stype == "map":
+        values_schema = schema.get("values", "string")
+        if value is None:
+            return None
+        if isinstance(value, dict):
+            if not value and cfg.empty_as_null:
+                return None
+            out = {
+                k: normalise_value(v, values_schema, cfg, k)
+                for k, v in value.items()
+            }
+            return _apply_map_encoding(out, cfg.map_encoding)
+        # scalar fallback → promoted single-entry map (normalise.rs:280-292)
+        wrapped_key = make_promoted_scalar_key(
+            field_name or "", _scalar_type_of(value)
+        )
+        synthetic = {
+            wrapped_key: normalise_value(value, values_schema, cfg, field_name)
+        }
+        return _apply_map_encoding(synthetic, cfg.map_encoding)
+
+    # Fallback
+    return value
+
+
+def normalise_document(
+    doc: Json, schema: Json, cfg: NormaliseConfig
+) -> Json:
+    """Normalise one parsed document (applies wrap_root when configured)."""
+    if cfg.wrap_root is not None:
+        doc = {cfg.wrap_root: doc}
+    return normalise_value(doc, schema, cfg, None)

@@ -1,0 +1,229 @@
+"""Distributed JSON-schema inference: the Spark re-expression of the
+reference pipeline ``collect strings → rayon fold → merge → finalise``
+(/root/reference/genson-core/src/schema.rs:332-448, 551-628).
+
+Plan shape (scale-first):
+
+1. single-column scan — only the JSON column is read (Catalyst prunes; the
+   parquet scan's ReadSchema carries exactly one field);
+2. ``mapInPandas`` folds every Arrow batch of a partition into ONE
+   per-partition summary dict (the monoid partial) — no per-row Python at
+   the Spark level, one Python call per batch, per-doc ``json.loads`` inside
+   the batch exactly like the reference parses per-doc inside a rayon chunk;
+3. the KB-sized summaries (one per partition) are collected and merged on
+   the driver **in partition-id order**, which makes property insertion
+   order deterministic — the Spark answer to the reference's OrderMap
+   order-sensitivity (/root/reference/genson-core/src/genson_rs/strategy/
+   object.rs:295-317);
+4. driver-side finalise: force-types → map inference → union reorder →
+   optional Avro (same sequencing as schema.rs:585-613).
+
+At 100 TB this never shuffles: the only data movement is one summary row
+per partition. With ~10^5 partitions the driver merge is still tiny; if it
+ever isn't, fold summaries pairwise with a treeAggregate-style reduction —
+the merge is associative by construction.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import InferenceConfig
+from ..functions import summary as S
+from ..functions.avro import json_schema_to_avro
+from ..functions.rewrite import postprocess_schema
+from ..functions.bridge import json_schema_to_spark_schema
+
+try:  # pragma: no cover - orjson is optional
+    import orjson as _fastjson
+
+    def _loads(s: str) -> Any:
+        return _fastjson.loads(s)
+
+except ImportError:  # pragma: no cover
+    def _loads(s: str) -> Any:
+        return json.loads(s)
+
+
+MAX_JSON_ERROR_LENGTH = 100
+
+
+class SchemaInferenceError(ValueError):
+    """Raised on invalid JSON in strict mode (reference schema.rs:187-204)."""
+
+
+@dataclass
+class InferenceResult:
+    schema: dict[str, Any]
+    processed_count: int
+
+
+def _truncate(s: str) -> str:
+    if len(s) > MAX_JSON_ERROR_LENGTH:
+        return (
+            f"{s[:MAX_JSON_ERROR_LENGTH]}... "
+            f"[truncated {len(s) - MAX_JSON_ERROR_LENGTH} chars]"
+        )
+    return s
+
+
+def _observe_cell(
+    node: dict, cell: str, config: InferenceConfig, index: int
+) -> bool:
+    """Fold one cell (one or many docs) into ``node``.
+
+    Returns True if the cell was non-empty (counted as processed).
+    Raises SchemaInferenceError on invalid JSON, mirroring
+    prepare_json_bytes (/root/reference/genson-core/src/schema.rs:160-238).
+    """
+    if cell is None:
+        return False
+    text = cell.strip()
+    if not text:
+        return False
+
+    docs: list[Any] = []
+    if config.ndjson:
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                docs.append(_loads(line))
+            except ValueError as e:
+                raise SchemaInferenceError(
+                    f"Invalid JSON input at index {index + 1}: {e} "
+                    f"- JSON: {_truncate(line)}"
+                ) from None
+    else:
+        try:
+            docs.append(_loads(text))
+        except ValueError as e:
+            raise SchemaInferenceError(
+                f"Invalid JSON input at index {index + 1}: {e} "
+                f"- JSON: {_truncate(text)}"
+            ) from None
+
+    for doc in docs:
+        if config.wrap_root is not None:
+            doc = {config.wrap_root: doc}
+        if (
+            config.ignore_outer_array
+            and isinstance(doc, list)
+        ):
+            # top-level array = stream of objects
+            # (/root/reference/genson-core/src/genson_rs/mod.rs:44-72)
+            for element in doc:
+                S.observe(node, element)
+        else:
+            S.observe(node, doc)
+    return True
+
+
+def partition_summaries(df: DataFrame, column: str, config: InferenceConfig) -> list[dict]:
+    """Run the distributed partial-fold; return per-partition summary dicts
+    sorted by partition id (the deterministic merge order)."""
+    cfg = config
+
+    projected = (
+        df.select(F.col(column).alias("doc"))
+        .where(F.col("doc").isNotNull() & (F.trim(F.col("doc")) != F.lit("")))
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        node = S.new_summary()
+        processed = 0
+        pid = -1
+        error: str | None = None
+        for pdf in batches:
+            if len(pdf) and pid < 0:
+                pid = int(pdf["pid"].iloc[0])
+            if error is not None:
+                continue
+            for i, cell in enumerate(pdf["doc"]):
+                try:
+                    if _observe_cell(node, cell, cfg, processed):
+                        processed += 1
+                except SchemaInferenceError as e:
+                    error = str(e)
+                    break
+        if pid >= 0 or processed:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "summary": [json.dumps(node)],
+                    "processed": [processed],
+                    "error": [error],
+                }
+            )
+
+    rows = projected.mapInPandas(
+        fold, schema="pid int, summary string, processed long, error string"
+    ).collect()
+
+    out = sorted(
+        (r.asDict() for r in rows), key=lambda r: r["pid"]
+    )
+    for r in out:
+        r["summary"] = json.loads(r["summary"])
+    return out
+
+
+def infer_json_schema(
+    df: DataFrame, column: str, config: InferenceConfig | None = None
+) -> InferenceResult:
+    """Infer the merged JSON schema of a string column of JSON documents.
+
+    Reference entry point parity:
+    ``df.genson.infer_json_schema(col)``
+    (/root/reference/polars-genson-py/python/polars_genson/__init__.py:918-1045).
+    """
+    config = config or InferenceConfig()
+    parts = partition_summaries(df, column, config)
+
+    first_error = next((p["error"] for p in parts if p["error"]), None)
+    if first_error:
+        raise SchemaInferenceError(first_error)
+
+    processed = sum(p["processed"] for p in parts)
+    if processed == 0:
+        raise SchemaInferenceError("No JSON documents found to process")
+
+    node = S.new_summary()
+    for p in parts:  # partition-id order ⇒ deterministic insertion order
+        S.merge(node, p["summary"])
+
+    schema = S.to_schema(node)
+    if not isinstance(schema, dict):  # defensive; to_schema returns dict
+        schema = {}
+    postprocess_schema(schema, config)
+
+    if config.schema_uri not in (None, "AUTO"):
+        schema = {"$schema": config.schema_uri, **schema}
+
+    if config.avro:
+        schema = json_schema_to_avro(schema)
+
+    return InferenceResult(schema=schema, processed_count=processed)
+
+
+def infer_spark_schema(
+    df: DataFrame, column: str, config: InferenceConfig | None = None
+):
+    """Infer a pyspark ``StructType`` for the JSON column (the analogue of
+    ``infer_polars_schema``, reference __init__.py:781-916)."""
+    config = config or InferenceConfig()
+    result = infer_json_schema(df, column, config)
+    schema = result.schema
+    if config.avro:
+        from ..functions.bridge import avro_to_spark_schema
+
+        return avro_to_spark_schema(schema)
+    return json_schema_to_spark_schema(schema)

@@ -1,0 +1,105 @@
+"""Distributed row normalisation: infer once (Avro), broadcast the schema,
+then enforce it on every row with a vectorized pandas UDF.
+
+Reference pipeline parity
+(/root/reference/polars-genson-py/src/expressions.rs:466-541): inference is
+forced to Avro, then each row is re-parsed and coerced by
+``normalise_value``. Unlike the reference's decode path (which re-infers —
+the 2× slowdown measured in bench/README.md:135-139), decode here reuses
+the SAME Avro schema to build the Spark ``StructType`` — single pass.
+
+Scale: the schema is a broadcast of a KB-sized dict; normalisation is
+embarrassingly parallel (no shuffle); `from_json` decode is JVM-side.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import InferenceConfig, NormaliseConfig
+from ..functions.bridge import avro_to_spark_schema
+from ..functions.normalise import normalise_document
+from .infer import InferenceResult, infer_json_schema, _loads
+
+
+def normalise_json(
+    df: DataFrame,
+    column: str,
+    config: InferenceConfig | None = None,
+    norm: NormaliseConfig | None = None,
+    output_col: str | None = None,
+    decode: bool = False,
+    unnest: bool = True,
+    avro_schema: dict[str, Any] | None = None,
+) -> DataFrame:
+    """Return ``df`` with ``column`` replaced (or ``output_col`` added) by
+    schema-normalised JSON text; with ``decode=True`` the normalised JSON is
+    decoded to native nested columns via ``from_json``.
+    """
+    config = config or InferenceConfig()
+    norm = norm or NormaliseConfig(wrap_root=config.wrap_root)
+    out_name = output_col or column
+
+    if avro_schema is None:
+        # single inference pass, Avro forced (expressions.rs:489-511)
+        import dataclasses
+
+        avro_cfg = dataclasses.replace(config, avro=True)
+        avro_schema = infer_json_schema(df, column, avro_cfg).schema
+
+    spark = df.sparkSession
+    schema_bc = spark.sparkContext.broadcast(json.dumps(avro_schema))
+    norm_bc = spark.sparkContext.broadcast(
+        (norm.empty_as_null, norm.coerce_string, norm.map_encoding, norm.wrap_root)
+    )
+
+    @F.pandas_udf("string")
+    def _normalise(col: pd.Series) -> pd.Series:
+        from ..config import NormaliseConfig as NC
+
+        schema = json.loads(schema_bc.value)
+        e, c, m, w = norm_bc.value
+        cfg = NC(empty_as_null=e, coerce_string=c, map_encoding=m, wrap_root=w)
+
+        def one(cell: str | None) -> str | None:
+            if cell is None:
+                return None
+            doc = _loads(cell)
+            return json.dumps(
+                normalise_document(doc, schema, cfg), separators=(",", ":")
+            )
+
+        return col.map(one)
+
+    result = df.withColumn(out_name, _normalise(F.col(column)))
+
+    if decode:
+        dtype = avro_to_spark_schema(avro_schema)
+        result = result.withColumn(out_name, F.from_json(F.col(out_name), dtype))
+        if unnest:
+            other = [c for c in result.columns if c != out_name]
+            result = result.select(*other, f"{out_name}.*")
+    return result
+
+
+def normalise_json_with_result(
+    df: DataFrame,
+    column: str,
+    config: InferenceConfig | None = None,
+    norm: NormaliseConfig | None = None,
+) -> tuple[DataFrame, InferenceResult]:
+    """Like :func:`normalise_json` but also returns the inference result."""
+    import dataclasses
+
+    config = config or InferenceConfig()
+    avro_cfg = dataclasses.replace(config, avro=True)
+    res = infer_json_schema(df, column, avro_cfg)
+    out = normalise_json(
+        df, column, config=config, norm=norm, avro_schema=res.schema
+    )
+    return out, res

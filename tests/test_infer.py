@@ -1,0 +1,130 @@
+"""End-to-end distributed inference on a local SparkSession — mirrors the
+reference's core_test.py / merge_schemas_test.py behaviours (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_genson_spark import (
+    InferenceConfig,
+    SchemaInferenceError,
+    infer_json_schema,
+    infer_spark_schema,
+)
+from pyspark.sql import types as T
+
+from conftest import make_json_df
+
+
+F1 = [
+    '{"name": "Alice", "age": 30}',
+    '{"name": "Bob", "age": 25, "city": "NYC"}',
+    '{"name": "Charlie", "age": 35, "email": "charlie@example.com"}',
+]
+
+
+def test_f1_merged_schema(spark):
+    df = make_json_df(spark, F1)
+    res = infer_json_schema(df, "json_data")
+    schema = res.schema
+    assert res.processed_count == 3
+    assert set(schema["properties"]) == {"name", "age", "city", "email"}
+    assert schema["required"] == ["age", "name"]
+    assert schema["properties"]["age"] == {"type": "integer"}
+
+
+def test_nulls_and_blanks_skipped(spark):
+    df = make_json_df(spark, [None, "", "   ", '{"a": 1}', None])
+    res = infer_json_schema(df, "json_data")
+    assert res.processed_count == 1
+    assert res.schema["properties"]["a"] == {"type": "integer"}
+
+
+def test_f2_union(spark):
+    docs = [
+        '{"id": 1, "nums": [0], "strs": "a"}',
+        '{"id": 2, "nums": [1, 2], "strs": ["b"]}',
+        '{"id": 3, "nums": [3, 4, 5], "strs": ["c", "d", "e"]}',
+    ]
+    res = infer_json_schema(make_json_df(spark, docs), "json_data")
+    strs = res.schema["properties"]["strs"]
+    assert strs == {
+        "anyOf": [
+            {"type": "array", "items": {"type": "string"}},
+            {"type": "string"},
+        ]
+    }
+
+
+def test_deterministic_across_partitions(spark):
+    docs = [f'{{"k{i % 7}": {i}, "common": "x"}}' for i in range(200)]
+    df1 = make_json_df(spark, docs).repartition(1)
+    df8 = make_json_df(spark, docs).repartition(8)
+    s1 = infer_json_schema(df1, "json_data").schema
+    s8 = infer_json_schema(df8, "json_data").schema
+    # canonical finalise makes the merge order irrelevant for content
+    assert set(s1["properties"]) == set(s8["properties"])
+    assert s1["required"] == s8["required"]
+    assert {k: v for k, v in s1["properties"].items()} == {
+        k: v for k, v in s8["properties"].items()
+    }
+
+
+def test_invalid_json_strict_error(spark):
+    df = make_json_df(spark, ['{"ok": 1}', "{invalid json}"])
+    with pytest.raises(SchemaInferenceError, match="Invalid JSON input"):
+        infer_json_schema(df, "json_data")
+
+
+def test_wrap_root(spark):
+    df = make_json_df(spark, ['{"a": 1}'])
+    cfg = InferenceConfig(wrap_root="data")
+    schema = infer_json_schema(df, "json_data", cfg).schema
+    assert schema["required"] == ["data"]
+    assert schema["properties"]["data"]["properties"]["a"] == {
+        "type": "integer"
+    }
+
+
+def test_ndjson(spark):
+    df = make_json_df(spark, ['{"a": 1}\n{"a": 2, "b": "x"}\n'])
+    cfg = InferenceConfig(ndjson=True)
+    res = infer_json_schema(df, "json_data", cfg)
+    assert res.schema["required"] == ["a"]
+    assert set(res.schema["properties"]) == {"a", "b"}
+
+
+def test_outer_array_unwrap(spark):
+    df = make_json_df(spark, ['[{"a": 1}, {"a": 2, "b": true}]'])
+    res = infer_json_schema(df, "json_data")
+    assert res.schema["required"] == ["a"]
+    assert res.schema["properties"]["b"] == {"type": "boolean"}
+
+
+def test_empty_column_errors(spark):
+    df = make_json_df(spark, [None, ""])
+    with pytest.raises(SchemaInferenceError):
+        infer_json_schema(df, "json_data")
+
+
+def test_infer_spark_schema(spark):
+    df = make_json_df(spark, F1)
+    st = infer_spark_schema(df, "json_data")
+    assert isinstance(st, T.StructType)
+    assert st["age"].dataType == T.LongType()
+    assert st["name"].dataType == T.StringType()
+
+
+def test_avro_output_f1(spark):
+    df = make_json_df(spark, F1)
+    cfg = InferenceConfig(avro=True)
+    avro = infer_json_schema(df, "json_data", cfg).schema
+    assert avro["type"] == "record"
+    assert avro["name"] == "document"
+    assert avro["namespace"] == "genson"
+    by_name = {f["name"]: f["type"] for f in avro["fields"]}
+    assert by_name["name"] == "string"
+    assert by_name["age"] == "int"
+    # optional fields → nullable unions
+    assert by_name["city"] == ["null", "string"]
+    assert by_name["email"] == ["null", "string"]
