@@ -1,0 +1,294 @@
+"""Constraint checks: uniqueness (HLL + exact), referential (broadcast
+anti-join + Bloom prefilter for large dims), consistency, and
+distribution-drift (chi² / KS on token histograms).
+
+Scale notes (the 100 TB story):
+- uniqueness: ``approx_count_distinct`` (HyperLogLog++) is a map-side
+  aggregate — one pass, no wide shuffle; the exact duplicate-row listing is
+  a separate opt-in groupBy on doc_id (the only genuinely wide shuffle in
+  the engine; AQE + salting handle skew).
+- referential: a ~20-row dim is broadcast → anti-join never shuffles the
+  fact table. For dims too large to broadcast, ``bloom_prefilter`` drops
+  the overwhelming majority of matching rows with a broadcast Bloom filter
+  (DataFrame.stat.bloomFilter, fpp configurable) so only candidate
+  violations reach the join.
+- drift: computed on the per-(source, bucket) histogram table — KB-sized on
+  the driver regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import ValidationConfig
+from .stats import token_id_histogram
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness
+# ---------------------------------------------------------------------------
+
+
+def uniqueness_summary(
+    df: DataFrame, cfg: ValidationConfig | None = None
+) -> DataFrame:
+    """Per-source row counts vs HLL distinct doc_id estimates."""
+    cfg = cfg or ValidationConfig()
+    return df.groupBy(cfg.source_col).agg(
+        F.count(cfg.doc_id_col).alias("n_rows"),
+        F.approx_count_distinct(cfg.doc_id_col, cfg.hll_rsd).alias(
+            "approx_distinct"
+        ),
+    )
+
+
+def duplicate_rows(
+    df: DataFrame, cfg: ValidationConfig | None = None
+) -> DataFrame:
+    """Exact duplicate doc_ids: (doc_id, dup_count, sources). The wide
+    shuffle; run after the HLL summary has flagged which sources need it."""
+    cfg = cfg or ValidationConfig()
+    return (
+        df.groupBy(cfg.doc_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.array_sort(F.collect_set(cfg.source_col)).alias("sources"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential
+# ---------------------------------------------------------------------------
+
+
+def referential_violations(
+    df: DataFrame,
+    allowed: DataFrame,
+    cfg: ValidationConfig | None = None,
+) -> DataFrame:
+    """Rows whose ``source`` is not in the allowed-sources dimension.
+
+    The dim is broadcast — no shuffle of the fact side.
+    """
+    cfg = cfg or ValidationConfig()
+    return df.join(F.broadcast(allowed), cfg.source_col, "left_anti")
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    n = max(n, 1)
+    m = int(-n * math.log(fpp) / (math.log(2) ** 2)) + 1
+    m = ((m + 63) // 64) * 64  # round up to whole uint64 words
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(value: str, m_bits: int, k: int):
+    """k deterministic positions via blake2b double hashing (h1 + i*h2)."""
+    import hashlib
+
+    d = hashlib.blake2b(str(value).encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    for i in range(k):
+        yield (h1 + i * h2) % m_bits
+
+
+def build_bloom_filter(
+    dim: DataFrame,
+    column: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> dict:
+    """Distributed Bloom-filter build: each partition of the dimension
+    produces a packed uint64 bitmap (mapInPandas), the driver ORs the
+    partials — an associative reduce, so the dim is never collected.
+
+    (pyspark exposes no Python-side DataFrame.stat.bloomFilter; this is
+    the same construction, sized by the standard m = -n·ln p / ln²2.)
+    """
+    import numpy as np
+
+    if expected_items is None:
+        expected_items = dim.count()
+    m_bits, k = _bloom_params(expected_items, fpp)
+    words = m_bits // 64
+
+    def partial(batches):
+        bitmap = np.zeros(words, dtype=np.uint64)
+        for pdf in batches:
+            for v in pdf[column]:
+                if v is None:
+                    continue
+                for pos in _bloom_positions(v, m_bits, k):
+                    bitmap[pos >> 6] |= np.uint64(1 << (pos & 63))
+        yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    parts = (
+        dim.select(column).mapInPandas(partial, "bitmap binary").collect()
+    )
+    bitmap = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        bitmap |= np.frombuffer(r["bitmap"], dtype=np.uint64)
+    return {"bitmap": bitmap.tobytes(), "m_bits": m_bits, "k": k}
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    column: str,
+    allowed: DataFrame,
+    allowed_column: str | None = None,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Keep only rows whose ``column`` is NOT (probably) in ``allowed`` —
+    the Bloom-filter prefilter for referential checks against dims too
+    large to broadcast-join cheaply. False positives of the filter are
+    candidate *matches* and get dropped, so the output is a subset of the
+    input that still contains every true violation; chase it with the
+    exact anti-join.
+    """
+    import numpy as np
+
+    allowed_column = allowed_column or column
+    bloom = build_bloom_filter(allowed, allowed_column, expected_items, fpp)
+    bc = df.sparkSession.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf("boolean")
+    def might_contain(s: pd.Series) -> pd.Series:
+        b = bc.value
+        bitmap = np.frombuffer(b["bitmap"], dtype=np.uint64)
+        m_bits, k = b["m_bits"], b["k"]
+
+        def check(v):
+            if v is None:
+                return False
+            return all(
+                bitmap[pos >> 6] & np.uint64(1 << (pos & 63))
+                for pos in _bloom_positions(v, m_bits, k)
+            )
+
+        return s.map(check)
+
+    return df.where(~might_contain(F.col(column)))
+
+
+# ---------------------------------------------------------------------------
+# Consistency
+# ---------------------------------------------------------------------------
+
+
+def consistency_violations(
+    df: DataFrame, cfg: ValidationConfig | None = None
+) -> DataFrame:
+    """Rows violating the structural invariants: null doc_id/tokens/n_tok
+    or n_tok != size(tokens)."""
+    cfg = cfg or ValidationConfig()
+    c = F.col
+    reason = (
+        F.when(c(cfg.doc_id_col).isNull(), F.lit("null_doc_id"))
+        .when(c(cfg.tokens_col).isNull(), F.lit("null_tokens"))
+        .when(c(cfg.n_tok_col).isNull(), F.lit("null_n_tok"))
+        .when(
+            c(cfg.n_tok_col) != F.size(c(cfg.tokens_col)),
+            F.lit("n_tok_mismatch"),
+        )
+    )
+    return (
+        df.withColumn("reason", reason)
+        .where(F.col("reason").isNotNull())
+        .select(cfg.doc_id_col, cfg.source_col, "reason", cfg.n_tok_col,
+                F.size(cfg.tokens_col).alias("actual_len"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drift (chi-square + KS on token-id histograms)
+# ---------------------------------------------------------------------------
+
+
+def _chi2_sf(x: float, k: int) -> float:
+    """Survival function of chi² via the Wilson–Hilferty normal
+    approximation — ~30 lines beats a scipy dependency (SURVEY.md §7.1.5)."""
+    if k <= 0:
+        return 1.0
+    if x <= 0:
+        return 1.0
+    z = ((x / k) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * k))) / math.sqrt(
+        2.0 / (9.0 * k)
+    )
+    return 0.5 * math.erfc(z / math.sqrt(2.0))
+
+
+def drift_from_histogram(
+    hist_rows: Iterable, cfg: ValidationConfig | None = None
+) -> list[dict]:
+    """Driver-side drift tests on (source, bucket, cnt) rows.
+
+    For each source: chi² of its bucket counts against the pooled
+    distribution of all *other* sources, plus the KS D-statistic between
+    the empirical CDFs. Returns one dict per source.
+    """
+    cfg = cfg or ValidationConfig()
+    counts: dict[str, dict[int, int]] = {}
+    for r in hist_rows:
+        counts.setdefault(r["source"], {})[int(r["bucket"])] = int(r["cnt"])
+    if not counts:
+        return []
+    all_buckets = sorted({b for d in counts.values() for b in d})
+    totals = {s: sum(d.values()) for s, d in counts.items()}
+    grand = sum(totals.values())
+
+    out = []
+    for s, d in sorted(counts.items()):
+        n_s = totals[s]
+        n_rest = grand - n_s
+        if n_s == 0 or n_rest == 0:
+            out.append(
+                {"source": s, "chi2": 0.0, "p_value": 1.0, "ks": 0.0,
+                 "drifted": False}
+            )
+            continue
+        chi2 = 0.0
+        dof = 0
+        cdf_s = 0.0
+        cdf_r = 0.0
+        ks = 0.0
+        for b in all_buckets:
+            o_s = d.get(b, 0)
+            o_r = sum(counts[t].get(b, 0) for t in counts if t != s)
+            tot_b = o_s + o_r
+            if tot_b == 0:
+                continue
+            e_s = tot_b * n_s / grand
+            if e_s > 0:
+                chi2 += (o_s - e_s) ** 2 / e_s
+                dof += 1
+            cdf_s += o_s / n_s
+            cdf_r += o_r / n_rest
+            ks = max(ks, abs(cdf_s - cdf_r))
+        p = _chi2_sf(chi2, max(dof - 1, 1))
+        out.append(
+            {
+                "source": s,
+                "chi2": round(chi2, 4),
+                "p_value": p,
+                "ks": round(ks, 6),
+                "drifted": bool(p < cfg.drift_alpha and ks >= cfg.ks_threshold),
+            }
+        )
+    return out
+
+
+def drift_check(
+    df: DataFrame, cfg: ValidationConfig | None = None
+) -> list[dict]:
+    cfg = cfg or ValidationConfig()
+    hist = token_id_histogram(df, cfg).collect()
+    return drift_from_histogram((r.asDict() for r in hist), cfg)
