@@ -1,0 +1,326 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot-path computation is JVM-side (higher-order array functions over
+``split``/``transform``/``aggregate`` + ``xxhash64``) — no Python in the
+row path. The LSH variants are the 100 TB scale path: candidate
+generation is a groupBy on (band, band_hash) whose output is bounded by
+actual collisions, never the full pairwise cross product.
+
+- exact:      hash-groupBy on the full text (or its xxhash64)
+- MinHash:    shingle → per-permutation min-hash → band → bucket join
+- SimHash:    64-bit sign-aggregated word-hash fingerprint, banded
+- n-gram Jaccard: exact pairwise similarity via shingle inverted index
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_docs, doc_ids, keep).
+
+    Groups on xxhash64(text) so the shuffle key is 8 bytes, not the
+    document; ``keep`` is the smallest id (the canonical survivor).
+    """
+    return (
+        df.groupBy(F.xxhash64(text_col).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per distinct text."""
+    w = Window.partitionBy(F.xxhash64(text_col)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash LSH
+# ---------------------------------------------------------------------------
+
+
+def _words(text_col: str):
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    words = _words(text_col)
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    # short docs (< n words): fall back to the whole text as one shingle
+    shingles = F.when(k > 0, shingles).otherwise(
+        F.array(F.trim(F.lower(F.col(text_col))))
+    )
+    return df.withColumn(out_col, F.array_distinct(shingles))
+
+
+def with_minhash(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_perm: int = 64,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """MinHash signature: for each permutation seed i, the minimum
+    xxhash64(shingle, i). One array column of ``num_perm`` longs."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col(shingle_col), lambda s, i=i: F.xxhash64(s, F.lit(i))
+                )
+            )
+            for i in range(num_perm)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs: (id_a, id_b, est_jaccard).
+
+    band hash = xxhash64 over each signature slice; docs sharing any band
+    bucket become candidates; est_jaccard = fraction of matching
+    signature components. The self-join runs on band buckets only.
+    """
+    rows_per_band = num_perm // bands
+    sigs = with_minhash(
+        with_shingles(df, text_col, shingle_n), num_perm=num_perm
+    ).select(F.col(id_col).alias("id"), "minhash")
+
+    band_entries = sigs.select(
+        "id",
+        "minhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(
+                                        "minhash",
+                                        b * rows_per_band + 1,
+                                        rows_per_band,
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "minhash", "bb.band", "bb.bhash")
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash: per-word xxhash64; bit j contributes +1/-1; the
+    fingerprint takes the sign of each bit-sum. Fully JVM-side via
+    aggregate/zip_with."""
+    words = _words(text_col)
+
+    def bit_vec(w):  # 64 ±1 contributions, unrolled at plan-build time
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(w), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                for j in range(64)
+            ]
+        )
+
+    sums = F.aggregate(
+        words,
+        F.expr("array_repeat(0L, 64)"),
+        lambda acc, w: F.zip_with(acc, bit_vec(w), lambda a, b: a + b),
+    )
+    tmp = df.withColumn("_sh_sums", sums)
+    fingerprint = F.lit(0).cast("long")
+    for j in range(64):
+        mask = (1 << j) if j < 63 else -(2**63)
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(F.element_at("_sh_sums", j + 1) > 0, F.lit(mask))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    return tmp.withColumn(out_col, fingerprint).drop("_sh_sums")
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding (4×16-bit chunks: any pair within
+    Hamming distance ≤3 shares at least one exact chunk — pigeonhole)."""
+    sh = with_simhash(df, text_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chash"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.chash")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chash") == F.col("b.chash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams via an inverted index:
+    explode shingles → self-join on shingle → |∩| per pair → Jaccard.
+
+    Exact but quadratic in bucket collisions — the verification stage
+    after LSH candidate generation, or standalone at moderate scale.
+    """
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"), "shingles"
+    )
+    inv = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,263 @@
+"""Approximate-nearest-neighbour search over an embedding column
+(``array<float>``).
+
+- brute-force cosine top-k: the correctness baseline; dot products via
+  ``F.zip_with`` + ``F.aggregate`` (JVM codegen, no Python)
+- LSH-bucketed variant (random-hyperplane signatures): the scale path —
+  the self-join runs per bucket, so comparisons are bounded by bucket
+  population, not |N|².
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_normalized(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "vec_norm"
+) -> DataFrame:
+    """L2-normalise once up front so cosine == dot everywhere downstream."""
+    n = _norm(F.col(vec_col))
+    return df.withColumn(
+        out_col,
+        F.when(
+            n > 0, F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+        ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0))),
+    )
+
+
+def cosine_similarity_col(a, b):
+    """Cosine similarity expression between two array columns."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to one query vector (broadcast as a
+    literal array; a single narrow scan + TakeOrdered — no shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = cosine_similarity_col(F.col(vec_col), q)
+    return (
+        df.select(id_col, F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pairwise_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: DataFrame | None = None,
+) -> DataFrame:
+    """All-pairs top-k neighbours (brute force, id_a != id_b). The
+    correctness oracle for the LSH variant — O(N²) compare, use only on
+    samples or after blocking."""
+    left = with_normalized(df, vec_col).select(
+        F.col(id_col).alias("id_a"), F.col("vec_norm").alias("va")
+    )
+    right = with_normalized(df, vec_col).select(
+        F.col(id_col).alias("id_b"), F.col("vec_norm").alias("vb")
+    )
+    pairs = left.join(right, F.col("id_a") != F.col("id_b"))
+    sim = F.round(_dot(F.col("va"), F.col("vb")), 6)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b")
+    )
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box–Muller over a
+    splitmix-style hash) — same planes on every executor, no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        vals = []
+        for d in range(0, dim, 2):
+            h = (seed * 0x9E3779B97F4A7C15 + p * 0x517CC1B727220A95 + d) & (
+                2**64 - 1
+            )
+            h ^= h >> 33
+            h = (h * 0xFF51AFD7ED558CCD) & (2**64 - 1)
+            h ^= h >> 33
+            u1 = ((h & 0xFFFFFFFF) + 1) / 4294967297.0
+            u2 = ((h >> 32) + 1) / 4294967297.0
+            r = math.sqrt(-2.0 * math.log(u1))
+            vals.append(r * math.cos(2 * math.pi * u2))
+            if d + 1 < dim:
+                vals.append(r * math.sin(2 * math.pi * u2))
+        planes.append(vals[:dim])
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH signature: bit p = sign(v · r_p). Vectors with
+    equal signatures fall in the same cosine-neighbourhood bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(F.col(vec_col), lit_plane) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        bucket = bucket.bitwiseOR(
+            F.shiftleft(bit.cast("long"), p)
+        )
+    return df.withColumn(out_col, bucket)
+
+
+def _multi_table_tagged(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> DataFrame:
+    """(id, table, bucket, vec_norm) rows for L independent LSH tables —
+    the multi-probe trick that turns per-table recall p into
+    1-(1-p)^L overall while keeping each self-join bucket-local."""
+    normed = with_normalized(df, vec_col)
+    for t in range(n_tables):
+        normed = with_lsh_bucket(
+            normed, dim, n_planes, "vec_norm", out_col=f"_b{t}", seed=seed + 101 * t
+        )
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"), F.col(f"_b{t}").alias("bucket")
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("tb")
+    return normed.select(
+        F.col(id_col).alias("id"), "vec_norm", entries
+    ).select("id", "vec_norm", "tb.table", "tb.bucket")
+
+
+def lsh_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates only within an LSH bucket of
+    any of ``n_tables`` independent tables; comparisons are bounded by
+    bucket populations, never |N|²."""
+    tagged = _multi_table_tagged(
+        df, dim, n_planes, n_tables, id_col, vec_col, seed
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec_norm").alias("va"),
+            F.col("b.vec_norm").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold)
+    via multi-table LSH blocking — the embedding leg of the dedup suite.
+    High thresholds mean tiny angles, so even few planes catch near-dups
+    with high probability per table."""
+    tagged = _multi_table_tagged(
+        df, dim, n_planes, n_tables, id_col, vec_col, seed
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec_norm").alias("va"),
+            F.col("b.vec_norm").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

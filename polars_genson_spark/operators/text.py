@@ -1,0 +1,109 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All pure ``pyspark.sql.functions`` expressions —
+whole-stage-codegen'd, zero Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio heuristic.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "un", "une", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "eine", "mit", "zu"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "que", "en"],
+}
+
+# A BPE-ish token regex: words, numbers, or single non-space symbols.
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def _words(text_col):
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens + char count."""
+    ws = F.size(_words(text_col))
+    bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    )
+    return (
+        df.withColumn("n_ws_tokens", ws)
+        .withColumn("n_bpe_tokens", bpe)
+        .withColumn("n_chars_actual", F.length(text_col))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: length, punctuation ratio, stopword ratio,
+    mean word length, and a composite [0,1] score."""
+    words = _words(text_col)
+    n_words = F.size(words)
+    n_chars = F.length(text_col)
+    n_punct = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), sw))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / F.lit(len(STOPWORDS["en"]))).otherwise(
+        F.lit(0.0)
+    )
+    mean_wlen = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_words / F.lit(20.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 2, F.lit(1.0)) * 0.3
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_wlen, 4))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_language_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID across {en,fr,de,es}; 'und' when no hits."""
+    words = F.array_distinct(_words(text_col))
+    scores = []
+    for lang, sws in STOPWORDS.items():
+        lit = F.array(*[F.lit(w) for w in sws])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(words, lit)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    guess = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn("lang_guess", guess)
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", shingle_chars: int = 16
+) -> DataFrame:
+    """Rolling-hash document fingerprint: xxhash64 of the
+    whitespace/casing-normalised text, plus a content fingerprint that is
+    the minimum xxhash64 over character shingles (winnowing-style, robust
+    to local edits)."""
+    normalised = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^\w]+", " ")
+    )
+    exact_fp = F.xxhash64(normalised)
+    n = F.greatest(
+        F.length(normalised) - (shingle_chars - 1), F.lit(1)
+    )
+    rolling = F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(4096))),
+        lambda i: F.xxhash64(normalised.substr(i, F.lit(shingle_chars))),
+    )
+    return df.withColumn("fingerprint", exact_fp).withColumn(
+        "min_shingle_fp", F.array_min(rolling)
+    )

@@ -1,0 +1,220 @@
+"""Training-data pipeline operators over the driver's testdata tables
+(documents / embeddings at sf0.001)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_genson_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_duplicates_matches_groupby_text(docs):
+    via_hash = dedup.exact_duplicates(docs).count()
+    via_text = (
+        docs.groupBy("text").count().where(F.col("count") > 1).count()
+    )
+    assert via_hash == via_text
+
+
+def test_drop_exact_duplicates(docs, spark):
+    doubled = docs.unionByName(docs)
+    kept = dedup.drop_exact_duplicates(doubled)
+    assert kept.count() == docs.select("text").distinct().count()
+
+
+def test_shingles_and_minhash_shapes(docs):
+    sh = dedup.with_shingles(docs.limit(50), n=3)
+    row = sh.select("doc_id", "shingles").first()
+    assert isinstance(row["shingles"], list) and row["shingles"]
+    mh = dedup.with_minhash(sh, num_perm=16).select("minhash").first()
+    assert len(mh["minhash"]) == 16
+
+
+def test_minhash_finds_planted_near_dupes(docs, spark):
+    base = docs.limit(30).select("doc_id", "text")
+    # plant: copy of doc with one appended word → high jaccard
+    near = base.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-copy")).alias(
+            "doc_id"
+        ),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    both = base.select(F.col("doc_id").cast("string"), "text").unionByName(
+        near
+    )
+    pairs = dedup.minhash_candidates(
+        both, num_perm=32, bands=16, min_jaccard=0.35
+    ).collect()
+    found = {
+        (r["id_a"], r["id_b"]) for r in pairs
+    }
+    # every original/copy pair shares almost all shingles → must be found
+    hits = sum(
+        1
+        for r in base.collect()
+        if (str(r["doc_id"]), f"{r['doc_id']}-copy") in found
+        or (f"{r['doc_id']}-copy", str(r["doc_id"])) in found
+    )
+    assert hits >= 25  # ≥83% recall on near-identical pairs
+
+
+def test_simhash_identical_docs_zero_hamming(docs, spark):
+    base = docs.limit(20).select("doc_id", "text")
+    dup = base.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-d")).alias("doc_id"),
+        "text",
+    )
+    both = base.select(F.col("doc_id").cast("string"), "text").unionByName(dup)
+    pairs = dedup.simhash_candidates(both, max_hamming=0).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for r in base.collect():
+        a, b = sorted([str(r["doc_id"]), f"{r['doc_id']}-d"])
+        assert (a, b) in found
+
+
+def test_ngram_jaccard_exact(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy cat"),
+        ("c", "completely different text with no overlap here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, n=2, min_jaccard=0.1).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert ("a", "b") in by_pair
+    # 8 distinct bigrams each, 7 shared → 7/9
+    assert abs(by_pair[("a", "b")] - 7 / 9) < 1e-5
+    assert ("a", "c") not in by_pair
+
+
+# --- similarity ------------------------------------------------------------
+
+
+def test_brute_force_topk_self_is_best(emb):
+    q = emb.first()
+    top = similarity.brute_force_topk(
+        emb, list(q["embedding"]), k=3
+    ).collect()
+    assert top[0]["vec_id"] == q["vec_id"]
+    assert abs(top[0]["cosine"] - 1.0) < 1e-4
+
+
+def test_lsh_recall_against_brute_force(emb):
+    sample = emb.limit(120)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.pairwise_topk(sample, k=1).collect()
+    }
+    approx = similarity.lsh_topk(sample, dim=64, k=1, n_planes=4, n_tables=8).collect()
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx}
+    # single-table LSH with 6 planes: expect meaningful (not total) recall
+    recall = len(exact & approx_pairs) / max(len(exact), 1)
+    assert recall > 0.25
+
+
+def test_embedding_near_duplicates_planted(emb, spark):
+    base = emb.limit(40)
+    dup = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    both = base.unionByName(dup)
+    pairs = similarity.embedding_near_duplicates(
+        both, dim=64, threshold=0.999
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum(
+        1 for r in base.collect() if (r["vec_id"], r["vec_id"] + 100000) in found
+    )
+    assert hits == 40  # identical vectors always share every LSH bucket
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("x", "Hello, world! 42 times.")], "doc_id string, text string"
+    )
+    row = text.with_token_counts(df).first()
+    assert row["n_ws_tokens"] == 4
+    # hello , world ! 42 times . → 7 BPE-ish tokens
+    assert row["n_bpe_tokens"] == 7
+
+
+def test_quality_and_language(docs):
+    out = text.with_language_guess(text.with_quality(docs.limit(100)))
+    rows = out.collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+    langs = {r["lang_guess"] for r in rows}
+    assert "en" in langs  # documents corpus is english-ish
+
+
+def test_fingerprint_stability(docs, spark):
+    a = text.with_fingerprint(docs.limit(20)).select(
+        "doc_id", "fingerprint", "min_shingle_fp"
+    )
+    b = text.with_fingerprint(docs.limit(20)).select(
+        "doc_id",
+        F.col("fingerprint").alias("fp2"),
+        F.col("min_shingle_fp").alias("msf2"),
+    )
+    joined = a.join(b, "doc_id")
+    assert (
+        joined.where(
+            (F.col("fingerprint") != F.col("fp2"))
+            | (F.col("min_shingle_fp") != F.col("msf2"))
+        ).count()
+        == 0
+    )
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, 60)
+    feats = multimodal.extract_features(media, decoder="fake")
+    rows = feats.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["features"])
+    # deterministic
+    again = multimodal.extract_features(media, decoder="fake").collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    media = multimodal.synthesize_media(spark, 5)
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        multimodal.extract_features(media, decoder="real").collect()
+
+
+def test_frame_sampling(spark):
+    media = multimodal.synthesize_media(spark, 30)
+    frames = multimodal.sample_frames(media, every_ms=500)
+    vids = media.where(F.col("meta.kind") == "video").count()
+    assert frames.select("media_id").distinct().count() == vids
