@@ -1,0 +1,97 @@
+"""Resumable run manifest: per-partition lineage fingerprints + metrics.
+
+A run writes ``manifest.json`` mapping each table partition (``source``) to
+an order-independent content fingerprint (bit_xor of per-row xxhash64 over
+(doc_id, tokens, n_tok)) plus its verdict metrics. On resume, partitions
+whose fingerprint matches the previous manifest are skipped and their
+recorded metrics are carried forward — only changed/new partitions are
+revalidated (SURVEY.md §7.1 step 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .config import ValidationConfig
+
+MANIFEST_NAME = "manifest.json"
+
+
+def partition_fingerprints(
+    df: DataFrame, cfg: ValidationConfig | None = None
+) -> dict[str, int]:
+    """Order-independent per-source content fingerprint (one narrow agg)."""
+    cfg = cfg or ValidationConfig()
+    rows = (
+        df.groupBy(cfg.source_col)
+        .agg(
+            F.bit_xor(
+                F.xxhash64(cfg.doc_id_col, cfg.tokens_col, cfg.n_tok_col)
+            ).alias("fp"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    return {r[cfg.source_col]: (int(r["fp"] or 0) ^ int(r["n"])) for r in rows}
+
+
+def load_manifest(run_dir: str) -> dict[str, Any] | None:
+    path = os.path.join(run_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def save_manifest(run_dir: str, manifest: dict[str, Any]) -> str:
+    os.makedirs(run_dir, exist_ok=True)
+    path = os.path.join(run_dir, MANIFEST_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True, default=str)
+    os.replace(tmp, path)
+    return path
+
+
+def plan_resume(
+    fingerprints: dict[str, int], previous: dict[str, Any] | None
+) -> tuple[list[str], list[str]]:
+    """Split partitions into (to_validate, to_skip) vs a prior manifest."""
+    if not previous:
+        return sorted(fingerprints), []
+    prev_fps = previous.get("fingerprints", {})
+    prev_parts = previous.get("partitions", {})
+    todo, skip = [], []
+    for source, fp in sorted(fingerprints.items()):
+        if (
+            str(source) in prev_fps
+            and int(prev_fps[str(source)]) == fp
+            and str(source) in prev_parts
+        ):
+            skip.append(source)
+        else:
+            todo.append(source)
+    return todo, skip
+
+
+def build_manifest(
+    fingerprints: dict[str, int],
+    partition_metrics: dict[str, dict[str, Any]],
+    carried: dict[str, dict[str, Any]] | None = None,
+    extra: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    parts = dict(carried or {})
+    parts.update(partition_metrics)
+    return {
+        "version": 1,
+        "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "fingerprints": {str(k): v for k, v in fingerprints.items()},
+        "partitions": {str(k): v for k, v in parts.items()},
+        **(extra or {}),
+    }

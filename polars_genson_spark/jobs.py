@@ -1,0 +1,234 @@
+"""spark-submit entry points and the N-vs-4N scaling benchmark.
+
+Usage (cluster):
+    spark-submit --py-files polars_genson_spark.zip -m polars_genson_spark.jobs \
+        validate --input <corpus path> --allowed <dim path> --output <run dir>
+
+Skew handling (north_rule): corpus writes go through
+``repartition_salted`` — ``repartitionByRange(source, salt, doc_id)`` with
+``salt = pmod(xxhash64(doc_id), K)`` so a heavy source key (web-01 carries
+~50% of rows in the synthetic corpus) spreads over K range buckets instead
+of one straggler task. GroupBy-based checks don't need it (map-side
+partial aggregation collapses each task's contribution to ≤|sources|
+rows); the salt matters for physical layout and per-partition writes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import checkpoint as ckpt
+from .config import ValidationConfig
+from .operators.verdicts import finalise_summary, validate_corpus
+from .session import get_spark
+from .sources.corpus import allowed_sources_df, generate_corpus
+
+
+def repartition_salted(
+    df: DataFrame,
+    cfg: ValidationConfig | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Range-partition on (source, salt, doc_id): co-locates each source's
+    rows into contiguous partitions while splitting heavy sources across
+    ``salt_buckets`` ranges. AQE still rebalances joins; this tames write
+    skew and keeps partition pruning effective."""
+    cfg = cfg or ValidationConfig()
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(cfg.doc_id_col), F.lit(cfg.salt_buckets)).cast("int"),
+    )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    out = salted.repartitionByRange(n, cfg.source_col, "_salt", cfg.doc_id_col)
+    return out.drop("_salt")
+
+
+def run_validation(
+    spark: SparkSession,
+    corpus: DataFrame,
+    allowed: DataFrame | None,
+    run_dir: str,
+    cfg: ValidationConfig | None = None,
+    resume: bool = True,
+    write_outputs: bool = True,
+) -> dict[str, Any]:
+    """Validate the corpus, honouring a prior manifest for resume."""
+    cfg = cfg or ValidationConfig()
+    os.makedirs(run_dir, exist_ok=True)
+
+    fingerprints = ckpt.partition_fingerprints(corpus, cfg)
+    previous = ckpt.load_manifest(run_dir) if resume else None
+    todo, skipped = ckpt.plan_resume(fingerprints, previous)
+
+    carried = {}
+    if previous:
+        carried = {
+            s: previous["partitions"][s]
+            for s in map(str, skipped)
+            if s in previous.get("partitions", {})
+        }
+
+    metrics: dict[str, dict[str, Any]] = {}
+    summary: dict[str, Any] = {}
+    if todo:
+        subset = corpus.where(F.col(cfg.source_col).isin([str(s) for s in todo]))
+        report = validate_corpus(subset, allowed, cfg)
+        summary = finalise_summary(report)
+        metrics = {
+            str(k): {kk: vv for kk, vv in v.items()}
+            for k, v in summary["per_partition"].items()
+        }
+        if write_outputs:
+            report.violations.write.mode("overwrite").parquet(
+                os.path.join(run_dir, "violations.parquet")
+            )
+            report.verdicts.write.mode("overwrite").parquet(
+                os.path.join(run_dir, "verdicts.parquet")
+            )
+
+    manifest = ckpt.build_manifest(
+        fingerprints,
+        metrics,
+        carried=carried,
+        extra={
+            "skipped_partitions": sorted(map(str, skipped)),
+            "validated_partitions": sorted(map(str, todo)),
+        },
+    )
+    ckpt.save_manifest(run_dir, manifest)
+
+    all_passed = all(
+        bool(p.get("passed")) for p in manifest["partitions"].values()
+    )
+    return {
+        "all_passed": all_passed,
+        "validated": sorted(map(str, todo)),
+        "skipped": sorted(map(str, skipped)),
+        "partitions": manifest["partitions"],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Scaling benchmark (N vs 4N cores — sandbox stand-in for N vs 4N executors)
+# ---------------------------------------------------------------------------
+
+
+def _validated_rows_per_sec(spark: SparkSession, n_rows: int, seed: int) -> float:
+    cfg = ValidationConfig()
+    corpus = generate_corpus(spark, n_rows, seed=seed).persist()
+    corpus.count()  # materialise outside the timed window
+    allowed = allowed_sources_df(spark)
+    t0 = time.perf_counter()
+    report = validate_corpus(corpus, allowed, cfg)
+    finalise_summary(report)
+    report.violations.count()
+    dt = time.perf_counter() - t0
+    corpus.unpersist()
+    return n_rows / dt, dt
+
+
+def scaling_bench(
+    n_rows: int = 300_000, n_small: int = 8, n_large: int = 32, seed: int = 42
+) -> dict[str, Any]:
+    """Run the identical validation job at local[n_small] and
+    local[n_large]; report both throughputs and the scaling efficiency
+    (throughput_large / throughput_small) / (n_large / n_small)."""
+    results = {}
+    for n in (n_small, n_large):
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = get_spark(
+            app_name=f"pgs-scaling-{n}",
+            master=f"local[{n}]",
+            shuffle_partitions=max(n, 8),
+        )
+        rps, dt = _validated_rows_per_sec(spark, n_rows, seed)
+        results[n] = {"rows_per_sec": round(rps, 1), "seconds": round(dt, 3)}
+        spark.stop()
+    ratio = n_large / n_small
+    eff = (
+        results[n_large]["rows_per_sec"] / results[n_small]["rows_per_sec"]
+    ) / ratio
+    return {
+        "n_rows": n_rows,
+        "small": {"cores": n_small, **results[n_small]},
+        "large": {"cores": n_large, **results[n_large]},
+        "speedup": round(
+            results[n_large]["rows_per_sec"] / results[n_small]["rows_per_sec"],
+            3,
+        ),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="polars_genson_spark.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="validate a corpus table")
+    v.add_argument("--input", required=True)
+    v.add_argument("--allowed", default=None)
+    v.add_argument("--output", required=True)
+    v.add_argument("--no-resume", action="store_true")
+
+    g = sub.add_parser("generate", help="write a synthetic corpus")
+    g.add_argument("--output", required=True)
+    g.add_argument("--rows", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+
+    s = sub.add_parser("scaling-bench", help="N vs 4N scaling evidence")
+    s.add_argument("--rows", type=int, default=300_000)
+    s.add_argument("--small", type=int, default=8)
+    s.add_argument("--large", type=int, default=32)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "scaling-bench":
+        out = scaling_bench(args.rows, args.small, args.large)
+        print(json.dumps(out))
+        return 0
+
+    spark = get_spark("polars-genson-spark-job")
+    try:
+        if args.cmd == "generate":
+            from .sources.corpus import write_corpus
+
+            write_corpus(spark, args.output, args.rows, args.seed)
+            return 0
+        if args.cmd == "validate":
+            corpus = spark.read.parquet(args.input)
+            allowed = (
+                spark.read.parquet(args.allowed)
+                if args.allowed
+                else allowed_sources_df(spark)
+            )
+            result = run_validation(
+                spark,
+                corpus,
+                allowed,
+                args.output,
+                resume=not args.no_resume,
+            )
+            print(json.dumps({k: v for k, v in result.items() if k != "partitions"}))
+            return 0 if result["all_passed"] else 1
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

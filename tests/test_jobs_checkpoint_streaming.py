@@ -1,0 +1,120 @@
+"""Checkpoint/resume manifest, salted repartition, and streaming
+validation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from polars_genson_spark import checkpoint as ckpt
+from polars_genson_spark.config import ValidationConfig
+from polars_genson_spark.jobs import repartition_salted, run_validation
+from polars_genson_spark.sources.corpus import (
+    allowed_sources_df,
+    generate_corpus,
+)
+from polars_genson_spark.streaming.validate_stream import (
+    run_streaming_validation,
+    stream_consistency_violations,
+    stream_source_stats,
+    read_corpus_stream,
+)
+
+
+def test_fingerprints_deterministic_and_sensitive(spark):
+    df1 = generate_corpus(spark, 5000, seed=1)
+    df2 = generate_corpus(spark, 5000, seed=1)
+    df3 = generate_corpus(spark, 5000, seed=2)
+    f1 = ckpt.partition_fingerprints(df1)
+    assert f1 == ckpt.partition_fingerprints(df2)
+    assert f1 != ckpt.partition_fingerprints(df3)
+
+
+def test_run_validation_resume_skips_unchanged(spark, tmp_path):
+    run_dir = str(tmp_path / "run")
+    corpus = generate_corpus(spark, 8000, seed=3).persist()
+    allowed = allowed_sources_df(spark)
+
+    r1 = run_validation(spark, corpus, allowed, run_dir, write_outputs=False)
+    assert r1["skipped"] == []
+    assert len(r1["validated"]) > 5
+
+    # identical input → everything skipped, metrics carried forward
+    r2 = run_validation(spark, corpus, allowed, run_dir, write_outputs=False)
+    assert r2["validated"] == []
+    assert set(r2["skipped"]) == set(r1["validated"])
+    assert r2["partitions"].keys() == r1["partitions"].keys()
+
+    # perturb one source → only it revalidates
+    bumped = corpus.withColumn(
+        "n_tok",
+        F.when(
+            F.col("source") == "books", F.col("n_tok") + 1
+        ).otherwise(F.col("n_tok")),
+    )
+    r3 = run_validation(spark, bumped, allowed, run_dir, write_outputs=False)
+    assert r3["validated"] == ["books"]
+    corpus.unpersist()
+
+    manifest = ckpt.load_manifest(run_dir)
+    assert manifest["version"] == 1
+    assert "books" in manifest["partitions"]
+
+
+def test_repartition_salted_spreads_heavy_source(spark):
+    corpus = generate_corpus(spark, 20000, seed=4)
+    cfg = ValidationConfig(salt_buckets=8)
+    out = repartition_salted(corpus, cfg, num_partitions=16)
+    pid_counts = (
+        out.where(F.col("source") == "web-01")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    # the ~50% heavy source must span several partitions, not one straggler
+    assert len(pid_counts) >= 4
+    biggest = max(r["count"] for r in pid_counts)
+    total = sum(r["count"] for r in pid_counts)
+    assert biggest < 0.5 * total
+
+
+def test_streaming_validation(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+
+    # land two file batches
+    generate_corpus(spark, 3000, seed=5).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    generate_corpus(spark, 3000, seed=6).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    seen = {"rows": 0, "batches": 0, "violations": 0}
+
+    def on_batch(batch_df, batch_id):
+        seen["batches"] += 1
+        seen["rows"] += batch_df.count()
+        seen["violations"] += stream_consistency_violations(batch_df).count()
+
+    q = run_streaming_validation(spark, in_dir, ckpt_dir, on_batch)
+    q.awaitTermination(120)
+    assert seen["rows"] == 6000
+    assert seen["batches"] >= 1
+
+    # streaming aggregation plan is valid (update-mode memory sink)
+    stats = stream_source_stats(read_corpus_stream(spark, in_dir))
+    q2 = (
+        stats.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("src_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("select * from src_stats").collect()
+    assert sum(r["n_rows"] for r in rows) == 6000
