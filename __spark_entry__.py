@@ -1,38 +1,629 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: derive a corpus-shaped table
+(doc_id, tokens, n_tok, source — BASELINE.json input_hint) from the
+sf0.001 documents table and run the full validation suite, returning the
+per-partition verdicts DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 plus the training-data pipeline ops, each with an ANSI-SQL
+oracle DuckDB can run on the same parquet views. Hash-dependent operators
+(minhash/simhash/fingerprints/HLL) have no SQL oracle and are registered
+as rows-only checks.
+
+Column names are aliased identically on both sides; floats are rounded on
+both sides so value-hash comparison is stable.
 """
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
+
+
+def corpus_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → the pre-tokenized corpus shape, fully JVM-side:
+    tokens[i] = xxhash64(word_i) mod vocab (deterministic fake BPE)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    tokens = F.transform(
+        words, lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        F.col("source").alias("source"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation over the sf0.001-derived corpus."""
+    from polars_genson_spark.config import ValidationConfig
+    from polars_genson_spark.operators.verdicts import validate_corpus
+
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = corpus_view(spark, sf_dir)
+    allowed = _t(spark, sf_dir, "documents").select("source").distinct()
+    cfg = ValidationConfig(token_hist_bucket=16)
+    report = validate_corpus(corpus, allowed, cfg)
+    return report.verdicts.orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Queries (spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_documents(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
+        F.min("n_chars").alias("min_n_chars"),
+        F.max("n_chars").alias("max_n_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
+    )
+
+
+def q_hist_n_chars(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy((F.col("n_chars") / 100).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_consistency_n_chars(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.where(F.col("n_chars") != F.length("text")).select(
+        "doc_id", "n_chars", F.length("text").alias("actual_len")
+    )
+
+
+def q_dup_orderkeys(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def q_uniqueness_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("doc_id").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_distinct"),
+    )
+
+
+def q_referential_lineitem_part(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_anti")
+        .select("l_partkey")
+        .distinct()
+    )
+
+
+def q_referential_customer_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+def q_drift_nchars_chi2(spark, sf_dir):
+    """Per-source chi² of the n_chars bucket distribution vs the rest —
+    the SQL-expressible face of the drift check."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "source", (F.col("n_chars") / 100).cast("long").alias("bucket")
+    )
+    counts = b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tot_source = counts.groupBy("source").agg(F.sum("o").alias("n_s"))
+    tot_bucket = counts.groupBy("bucket").agg(F.sum("o").alias("n_b"))
+    grand = counts.agg(F.sum("o").alias("n")).select("n")
+    joined = (
+        counts.join(tot_source, "source")
+        .join(tot_bucket, "bucket")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("e", F.col("n_s") * F.col("n_b") / F.col("n"))
+        .withColumn(
+            "contrib", (F.col("o") - F.col("e")) ** 2 / F.col("e")
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.round(F.sum("contrib"), 2).alias("chi2")
+    )
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_window_top2_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_events_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_format(
+        F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+    )
+    return e.groupBy(hour.alias("hour"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def q_dedup_exact_text(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select("keep_doc_id", "n_docs")
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_ws_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    words = F.array_distinct(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        )
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    return d.select(
+        "doc_id",
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.size(F.array_intersect(words, sw)).alias("en_stopword_hits"),
+    )
+
+
+def q_word_jaccard_pairs(spark, sf_dir):
+    from polars_genson_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    out = ngram_jaccard_pairs(d, n=1, min_jaccard=0.2)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    from polars_genson_spark.operators.similarity import pairwise_topk
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    out = pairwise_topk(e, k=1)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_schema_infer_events_props(spark, sf_dir):
+    from polars_genson_spark import infer_json_schema
+
+    e = _t(spark, sf_dir, "events")
+    res = infer_json_schema(e, "props")
+    return spark.createDataFrame(
+        [(json.dumps(res.schema, sort_keys=True),)], "schema_json string"
+    )
+
+
+def q_normalise_events_props(spark, sf_dir):
+    from polars_genson_spark import normalise_json
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 50)
+    out = normalise_json(e, "props", output_col="norm")
+    return out.select("event_id", "norm")
+
+
+# --- rows-only (hash-dependent; no SQL oracle) -----------------------------
+
+
+def q_minhash_near_dupes(spark, sf_dir):
+    from polars_genson_spark.operators.dedup import minhash_candidates
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    return minhash_candidates(d, num_perm=32, bands=16, min_jaccard=0.3)
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    from polars_genson_spark.operators.dedup import with_simhash
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return with_simhash(d).select("doc_id", "simhash")
+
+
+def q_corpus_verdicts(spark, sf_dir):
+    from polars_genson_spark.config import ValidationConfig
+    from polars_genson_spark.operators.verdicts import validate_corpus
+
+    corpus = corpus_view(spark, sf_dir)
+    allowed = (
+        _t(spark, sf_dir, "documents").select("source").distinct()
+    )
+    report = validate_corpus(
+        corpus, allowed, ValidationConfig(token_hist_bucket=16)
+    )
+    return report.verdicts.select(
+        "source", "n_rows", "consistency_violations", "passed"
+    )
+
+
+def q_hll_uniqueness(spark, sf_dir):
+    from polars_genson_spark.operators.checks import uniqueness_summary
+
+    return uniqueness_summary(corpus_view(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # scans / stats / checks (SURVEY §2.3, north_rule checks)
+        "stats_documents": q_stats_documents,
+        "hist_n_chars": q_hist_n_chars,
+        "consistency_n_chars": q_consistency_n_chars,
+        "dup_orderkeys": q_dup_orderkeys,
+        "uniqueness_docs": q_uniqueness_docs,
+        "referential_lineitem_part": q_referential_lineitem_part,
+        "referential_customer_nation": q_referential_customer_nation,
+        "drift_nchars_chi2": q_drift_nchars_chi2,
+        # general relational coverage (joins/agg/window/json/time)
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "window_top2_orders": q_window_top2_orders,
+        "events_json": q_events_json,
+        "events_hourly": q_events_hourly,
+        # training-data pipeline ops
+        "dedup_exact_text": q_dedup_exact_text,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "embedding_topk": q_embedding_topk,
+        # genson heritage (schema inference / normalisation)
+        "schema_infer_events_props": q_schema_infer_events_props,
+        "normalise_events_props": q_normalise_events_props,
+        # rows-only (hash-dependent / HLL)
+        "minhash_near_dupes": q_minhash_near_dupes,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "corpus_verdicts": q_corpus_verdicts,
+        "hll_uniqueness": q_hll_uniqueness,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return {
+        "stats_documents": """
+            SELECT source,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+                   min(n_chars) AS min_n_chars,
+                   max(n_chars) AS max_n_chars,
+                   round(avg(n_chars), 4) AS avg_n_chars
+            FROM documents GROUP BY source
+        """,
+        "hist_n_chars": """
+            SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1
+        """,
+        "consistency_n_chars": """
+            SELECT doc_id, n_chars, length(text) AS actual_len
+            FROM documents WHERE n_chars <> length(text)
+        """,
+        "dup_orderkeys": """
+            SELECT l_orderkey, count(*) AS dup_count
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "uniqueness_docs": """
+            SELECT source, count(doc_id) AS n_rows,
+                   count(DISTINCT doc_id) AS n_distinct
+            FROM documents GROUP BY source
+        """,
+        "referential_lineitem_part": """
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        """,
+        "referential_customer_nation": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        """,
+        "drift_nchars_chi2": """
+            WITH b AS (
+                SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS bucket
+                FROM documents
+            ),
+            counts AS (
+                SELECT source, bucket, count(*) AS o FROM b GROUP BY 1, 2
+            ),
+            ts AS (SELECT source, sum(o) AS n_s FROM counts GROUP BY 1),
+            tb AS (SELECT bucket, sum(o) AS n_b FROM counts GROUP BY 1),
+            g AS (SELECT sum(o) AS n FROM counts)
+            SELECT c.source,
+                   round(sum(pow(c.o - (ts.n_s * tb.n_b / g.n), 2)
+                         / (ts.n_s * tb.n_b / g.n)), 2) AS chi2
+            FROM counts c
+            JOIN ts ON c.source = ts.source
+            JOIN tb ON c.bucket = tb.bucket
+            CROSS JOIN g
+            GROUP BY c.source
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM region
+            JOIN nation ON r_regionkey = n_regionkey
+            JOIN customer ON n_nationkey = c_nationkey
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY n_name
+        """,
+        "window_top2_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 2
+        """,
+        "events_json": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact_text": """
+            SELECT min(doc_id) AS keep_doc_id, count(*) AS n_docs
+            FROM documents GROUP BY text HAVING count(*) > 1
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents WHERE doc_id < 100
+        """,
+        "quality": f"""
+            SELECT doc_id,
+                   round((length(text) - length(regexp_replace(text,
+                       '[^\\w\\s]', '', 'g'))) * 1.0 / length(text), 4)
+                       AS punct_ratio,
+                   len(list_intersect(
+                       list_distinct(string_split_regex(trim(
+                           regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')),
+                       [{sw}])) AS en_stopword_hits
+            FROM documents WHERE doc_id < 200
+        """,
+        "word_jaccard_pairs": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(string_split_regex(trim(
+                           regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' ')) AS words
+                FROM documents WHERE doc_id < 300
+            ),
+            inv AS (
+                SELECT doc_id, len(words) AS n_w, unnest(words) AS word
+                FROM w
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.n_w AS n_a, b.n_w AS n_b,
+                       count(*) AS n_common
+                FROM inv a JOIN inv b
+                  ON a.word = b.word AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(round(n_common * 1.0 / (n_a + n_b - n_common), 6), 4)
+                       AS jaccard
+            FROM pairs
+            WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 6) >= 0.2
+        """,
+        "embedding_topk": """
+            WITH pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+                WHERE a.vec_id < 100 AND b.vec_id < 100
+            ),
+            ranked AS (
+                SELECT id_a, id_b, cosine,
+                       row_number() OVER (
+                           PARTITION BY id_a ORDER BY cosine DESC, id_b
+                       ) AS rank
+                FROM pairs
+            )
+            SELECT id_a, id_b, round(cosine, 4) AS cosine, rank
+            FROM ranked WHERE rank <= 1
+        """,
+        "schema_infer_events_props": (
+            "SELECT '"
+            + json.dumps(
+                {
+                    "properties": {"k": {"type": "integer"}},
+                    "required": ["k"],
+                    "type": "object",
+                },
+                sort_keys=True,
+            )
+            + "' AS schema_json"
+        ),
+        "normalise_events_props": """
+            SELECT event_id,
+                   concat('{"k":', CAST(json_extract_string(props, '$.k')
+                       AS BIGINT), '}') AS norm
+            FROM events WHERE event_id < 50
+        """,
+        # minhash_near_dupes / simhash_fingerprints / corpus_verdicts /
+        # hll_uniqueness: intentionally no oracle (xxhash64/HLL internals
+        # are engine-specific) → driver records rows-only checks.
+    }

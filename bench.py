@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus rows_per_sec for the flagship validation}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from polars_genson_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="pgs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    import __spark_entry__ as E
+
+    # warm the JVM/Arrow paths outside the timed region
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    q = E.queries()
+    headline = [
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "q5_nation_revenue",
+        "window_top2_orders",
+        "events_hourly",
+        "events_json",
+        "stats_documents",
+        "drift_nchars_chi2",
+        "dedup_exact_text",
+        "uniqueness_docs",
+        "referential_lineitem_part",
+        "minhash_near_dupes",
+        "embedding_topk",
+        "schema_infer_events_props",
+        "corpus_verdicts",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        df = q[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship throughput: validated sequences/sec on the corpus view
+    corpus = E.corpus_view(spark, sf_dir)
+    n_rows = corpus.count()
+    t0 = time.perf_counter()
+    q["corpus_verdicts"](spark, sf_dir).collect()
+    validate_sec = time.perf_counter() - t0
+    timings["corpus_validate_full"] = round(validate_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "validated_rows": n_rows,
+        "validated_rows_per_sec": round(n_rows / validate_sec, 1),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
