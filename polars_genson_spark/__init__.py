@@ -15,10 +15,16 @@ from .operators.infer import (
     InferenceResult,
     SchemaInferenceError,
     infer_json_schema,
+    infer_json_schema_per_row,
     infer_spark_schema,
 )
 from .operators.normalise_op import normalise_json, normalise_json_with_result
 from .session import get_spark
+from .sources.parquet_io import (
+    infer_from_parquet,
+    normalise_from_parquet,
+    read_parquet_metadata,
+)
 
 __all__ = [
     "InferenceConfig",
@@ -27,9 +33,13 @@ __all__ = [
     "InferenceResult",
     "SchemaInferenceError",
     "infer_json_schema",
+    "infer_json_schema_per_row",
     "infer_spark_schema",
     "normalise_json",
     "normalise_json_with_result",
+    "infer_from_parquet",
+    "normalise_from_parquet",
+    "read_parquet_metadata",
     "get_spark",
 ]
 

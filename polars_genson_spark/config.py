@@ -91,6 +91,11 @@ class ValidationConfig:
     # Thresholds
     token_hist_bucket: int = 64  # n_tok histogram bucket width
     token_id_buckets: int = 256  # token-value histogram buckets for drift
+    # Drift-histogram kernel: "jvm" = explode + two-phase hash agg (whole
+    # pipeline stays in codegen; best scaling, best at high parallelism);
+    # "arrow" = mapInArrow + np.bincount (fastest per-core at low
+    # parallelism; pays the Arrow transfer of the tokens column).
+    hist_impl: str = "jvm"
     vocab_size: int = 50257
     drift_alpha: float = 0.01  # chi-square p-value threshold
     ks_threshold: float = 0.15  # KS D-statistic threshold

@@ -121,52 +121,131 @@ def run_validation(
 # ---------------------------------------------------------------------------
 
 
-def _validated_rows_per_sec(spark: SparkSession, n_rows: int, seed: int) -> float:
+def bench_one(
+    n_rows: int, cores: int, seed: int = 42, reps: int = 3
+) -> dict[str, Any]:
+    """Measure validated rows/sec of the full validation job at
+    local[cores]. One warmup run (JIT, Python workers, broadcasts) then
+    ``reps`` timed runs; best time wins (standard de-noising on shared
+    hardware). Caches from a run are dropped before the next so every rep
+    recomputes the full pipeline."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(
+        app_name=f"pgs-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
     cfg = ValidationConfig()
-    corpus = generate_corpus(spark, n_rows, seed=seed).persist()
+    corpus = generate_corpus(
+        spark, n_rows, seed=seed, partitions=max(cores * 2, 8)
+    ).persist()
     corpus.count()  # materialise outside the timed window
     allowed = allowed_sources_df(spark)
-    t0 = time.perf_counter()
-    report = validate_corpus(corpus, allowed, cfg)
-    finalise_summary(report)
-    report.violations.count()
-    dt = time.perf_counter() - t0
+    times: list[float] = []
+    for rep in range(reps + 1):  # rep 0 = warmup
+        t0 = time.perf_counter()
+        report = validate_corpus(corpus, allowed, cfg)
+        finalise_summary(report)
+        report.violations.count()
+        dt = time.perf_counter() - t0
+        report.violations.unpersist()
+        report.verdicts.unpersist()
+        if rep > 0:
+            times.append(dt)
+    best = min(times)
     corpus.unpersist()
-    return n_rows / dt, dt
+    spark.stop()
+    return {
+        "cores": cores,
+        "rows_per_sec": round(n_rows / best, 1),
+        "seconds": round(best, 3),
+        "all_seconds": [round(t, 3) for t in times],
+    }
+
+
+def _bench_one_pinned(
+    n_rows: int, cores: int, seed: int, reps: int
+) -> dict[str, Any]:
+    """Run bench_one in a subprocess bound to exactly ``cores`` CPUs."""
+    import subprocess
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        sys.executable, "-m", "polars_genson_spark.jobs", "bench-one",
+        "--rows", str(n_rows),
+        "--cores", str(cores),
+        "--seed", str(seed),
+        "--reps", str(reps),
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, check=True
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def scaling_bench(
-    n_rows: int = 300_000, n_small: int = 8, n_large: int = 32, seed: int = 42
+    n_rows: int = 4_000_000,
+    n_small: int = 8,
+    n_large: int = 32,
+    seed: int = 42,
+    pin: bool = True,
+    rounds: int = 3,
 ) -> dict[str, Any]:
     """Run the identical validation job at local[n_small] and
     local[n_large]; report both throughputs and the scaling efficiency
-    (throughput_large / throughput_small) / (n_large / n_small)."""
-    results = {}
-    for n in (n_small, n_large):
-        active = SparkSession.getActiveSession()
-        if active is not None:
-            active.stop()
-        spark = get_spark(
-            app_name=f"pgs-scaling-{n}",
-            master=f"local[{n}]",
-            shuffle_partitions=max(n, 8),
-        )
-        rps, dt = _validated_rows_per_sec(spark, n_rows, seed)
-        results[n] = {"rows_per_sec": round(rps, 1), "seconds": round(dt, 3)}
-        spark.stop()
+    (throughput_large / throughput_small) / (n_large / n_small).
+
+    Methodology (shared noisy hardware):
+    - Each measurement runs in a subprocess bound to exactly N cores via
+      ``taskset`` (``pin=True``), so the small run cannot borrow spare
+      machine cores for GC/JIT/Python workers — the honest emulation of an
+      N-core executor slice. Falls back to in-process when taskset is
+      missing.
+    - Host throughput drifts minute-to-minute (noisy neighbours), so the
+      two sizes are measured in interleaved (small, large) pairs per
+      round; the reported efficiency is the MEDIAN of per-round
+      efficiencies, which cancels window-to-window drift that sequential
+      best-of runs cannot.
+    """
+    import shutil
+    import statistics
+
+    use_pin = pin and shutil.which("taskset") is not None
     ratio = n_large / n_small
-    eff = (
-        results[n_large]["rows_per_sec"] / results[n_small]["rows_per_sec"]
-    ) / ratio
+    per_round: list[dict[str, Any]] = []
+    for _ in range(rounds):
+        pair = {}
+        for n in (n_small, n_large):
+            if use_pin:
+                pair[n] = _bench_one_pinned(n_rows, n, seed, reps=1)
+            else:
+                pair[n] = bench_one(n_rows, n, seed, reps=1)
+        eff = (
+            pair[n_large]["rows_per_sec"] / pair[n_small]["rows_per_sec"]
+        ) / ratio
+        per_round.append(
+            {
+                "small": pair[n_small],
+                "large": pair[n_large],
+                "efficiency": round(eff, 3),
+            }
+        )
+    med_eff = statistics.median(r["efficiency"] for r in per_round)
+    best_small = max(r["small"]["rows_per_sec"] for r in per_round)
+    best_large = max(r["large"]["rows_per_sec"] for r in per_round)
     return {
         "n_rows": n_rows,
-        "small": {"cores": n_small, **results[n_small]},
-        "large": {"cores": n_large, **results[n_large]},
-        "speedup": round(
-            results[n_large]["rows_per_sec"] / results[n_small]["rows_per_sec"],
-            3,
-        ),
-        "scaling_efficiency": round(eff, 3),
+        "pinned": use_pin,
+        "rounds": per_round,
+        "small": {"cores": n_small, "best_rows_per_sec": best_small},
+        "large": {"cores": n_large, "best_rows_per_sec": best_large},
+        "speedup_median": round(med_eff * ratio, 3),
+        "scaling_efficiency": round(med_eff, 3),
     }
 
 
@@ -191,15 +270,29 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
 
     s = sub.add_parser("scaling-bench", help="N vs 4N scaling evidence")
-    s.add_argument("--rows", type=int, default=300_000)
+    s.add_argument("--rows", type=int, default=2_000_000)
     s.add_argument("--small", type=int, default=8)
     s.add_argument("--large", type=int, default=32)
+    s.add_argument("--no-pin", action="store_true")
+
+    b = sub.add_parser("bench-one", help="one pinned throughput measurement")
+    b.add_argument("--rows", type=int, required=True)
+    b.add_argument("--cores", type=int, required=True)
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--reps", type=int, default=3)
 
     args = p.parse_args(argv)
 
     if args.cmd == "scaling-bench":
-        out = scaling_bench(args.rows, args.small, args.large)
+        out = scaling_bench(
+            args.rows, args.small, args.large, pin=not args.no_pin
+        )
         print(json.dumps(out))
+        return 0
+    if args.cmd == "bench-one":
+        print(
+            json.dumps(bench_one(args.rows, args.cores, args.seed, args.reps))
+        )
         return 0
 
     spark = get_spark("polars-genson-spark-job")

@@ -89,18 +89,55 @@ def with_minhash(
     out_col: str = "minhash",
 ) -> DataFrame:
     """MinHash signature: for each permutation seed i, the minimum
-    xxhash64(shingle, i). One array column of ``num_perm`` longs."""
+    xxhash64(shingle, i). One array column of ``num_perm`` longs.
+
+    The shingle is hashed ONCE (strings are the expensive hash input);
+    each permutation re-mixes the 8-byte hash with its seed."""
+    base = F.transform(F.col(shingle_col), lambda s: F.xxhash64(s))
+    tmp = df.withColumn("_sh_h", base)
     sig = F.array(
         *[
             F.array_min(
                 F.transform(
-                    F.col(shingle_col), lambda s, i=i: F.xxhash64(s, F.lit(i))
+                    F.col("_sh_h"), lambda h, i=i: F.xxhash64(h, F.lit(i))
                 )
             )
             for i in range(num_perm)
         ]
     )
-    return df.withColumn(out_col, sig)
+    return tmp.withColumn(out_col, sig).drop("_sh_h")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """MinHash signatures via explode + groupBy — the scale path.
+
+    Each shingle is hashed once; ``num_perm`` algebraic ``min`` aggregates
+    (one per permutation, re-mixing the 8-byte hash with the seed) run
+    with map-side partial aggregation, so the shuffle carries ONE row of
+    ``num_perm`` longs per document regardless of shingle count. Codegen
+    stays small (flat agg list, no nested higher-order lambdas), unlike
+    the per-row array formulation in :func:`with_minhash`.
+    """
+    sh = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col).alias("id"), F.explode("shingles").alias("shingle")
+    )
+    h = F.xxhash64("shingle")
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(h, F.lit(i))).alias(f"_p{i}")
+            for i in range(num_perm)
+        ]
+    )
+    return sig.select(
+        "id",
+        F.array(*[F.col(f"_p{i}") for i in range(num_perm)]).alias("minhash"),
+    )
 
 
 def minhash_candidates(
@@ -119,9 +156,9 @@ def minhash_candidates(
     signature components. The self-join runs on band buckets only.
     """
     rows_per_band = num_perm // bands
-    sigs = with_minhash(
-        with_shingles(df, text_col, shingle_n), num_perm=num_perm
-    ).select(F.col(id_col).alias("id"), "minhash")
+    sigs = minhash_signatures(
+        df, id_col, text_col, shingle_n, num_perm
+    )
 
     band_entries = sigs.select(
         "id",

@@ -214,6 +214,41 @@ def infer_json_schema(
     return InferenceResult(schema=schema, processed_count=processed)
 
 
+def infer_json_schema_per_row(
+    df: DataFrame,
+    column: str,
+    config: InferenceConfig | None = None,
+    output_col: str = "schema",
+) -> DataFrame:
+    """Per-row schema inference — the reference's ``merge_schemas=False``
+    mode (/root/reference/polars-genson-py/src/expressions.rs:247-310):
+    each row gets its own finalised schema JSON (no cross-row merge), so
+    this is a row-wise map (vectorized pandas UDF), not an aggregation.
+    Null/blank cells yield null."""
+    config = config or InferenceConfig()
+    cfg = config
+
+    @F.pandas_udf("string")
+    def _one(col: pd.Series) -> pd.Series:
+        def one(cell: str | None) -> str | None:
+            node = S.new_summary()
+            if cell is None or not _observe_cell(node, cell, cfg, 0):
+                return None
+            schema = S.to_schema(node)
+            if not isinstance(schema, dict):
+                schema = {}
+            postprocess_schema(schema, cfg)
+            if cfg.schema_uri not in (None, "AUTO"):
+                schema = {"$schema": cfg.schema_uri, **schema}
+            if cfg.avro:
+                schema = json_schema_to_avro(schema)
+            return json.dumps(schema, separators=(",", ":"), sort_keys=True)
+
+        return col.map(one)
+
+    return df.withColumn(output_col, _one(F.col(column)))
+
+
 def infer_spark_schema(
     df: DataFrame, column: str, config: InferenceConfig | None = None
 ):

@@ -67,9 +67,14 @@ def normalise_json(
         cfg = NC(empty_as_null=e, coerce_string=c, map_encoding=m, wrap_root=w)
 
         def one(cell: str | None) -> str | None:
-            if cell is None:
+            # blank/unparseable cells normalise to null rather than
+            # aborting the task — violations surface as rows (SURVEY §3.2)
+            if cell is None or not cell.strip():
                 return None
-            doc = _loads(cell)
+            try:
+                doc = _loads(cell)
+            except ValueError:
+                return None
             return json.dumps(
                 normalise_document(doc, schema, cfg), separators=(",", ":")
             )

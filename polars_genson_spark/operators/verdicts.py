@@ -6,10 +6,17 @@ from JSON columns to the pre-tokenized corpus table.
 identity partition in the target layout), so verdicts line up with the
 physical layout a 1000-executor cluster would prune on.
 
-One wide-agg pass computes stats + HLL uniqueness per source; violations
-are narrow filters (consistency), a broadcast anti-join (referential), and
-one opt-in wide groupBy (exact duplicates). Drift runs on the KB-sized
-histogram rollup. Everything else is metadata-sized.
+One wide-agg pass computes stats + HLL uniqueness per source. Row-level
+violations (consistency + referential) come from a SINGLE corpus scan: the
+consistency predicate and the broadcast-left-join referential marker are
+evaluated together and exploded into violation rows, so the corpus is not
+rescanned per check. Exact duplicates are one wide shuffle with the
+per-row sources carried via ``collect_list`` — no join-back. The combined
+violations frame is persisted (violation rows are rate-bounded and small),
+so per-source counts, the verdicts join, and any downstream
+``violations.count()``/write reuse it instead of recomputing the scans.
+Drift runs on the KB-sized histogram rollup. Everything else is
+metadata-sized.
 """
 
 from __future__ import annotations
@@ -21,12 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ValidationConfig
-from .checks import (
-    consistency_violations,
-    drift_from_histogram,
-    duplicate_rows,
-    referential_violations,
-)
+from .checks import drift_from_histogram
 from .stats import token_id_histogram, token_length_histogram
 
 
@@ -39,22 +41,6 @@ class ValidationReport:
 
     def passed(self) -> bool:
         return bool(self.summary.get("all_passed"))
-
-
-def _violation_frame(
-    df: DataFrame, check: str, cfg: ValidationConfig
-) -> DataFrame:
-    """Normalise a violation source frame to (check, doc_id, source, reason)."""
-    cols = df.columns
-    reason = F.col("reason") if "reason" in cols else F.lit(check)
-    return df.select(
-        F.lit(check).alias("check"),
-        F.col(cfg.doc_id_col).alias("doc_id"),
-        (F.col(cfg.source_col) if cfg.source_col in cols else F.lit(None)).alias(
-            "source"
-        ),
-        reason.alias("reason"),
-    )
 
 
 def validate_corpus(
@@ -87,49 +73,94 @@ def validate_corpus(
         ).alias("n_tok_mismatch"),
     )
 
-    violation_frames: list[DataFrame] = []
+    check_ref = allowed_sources is not None and cfg.check_referential
+    check_dup = exact_duplicates and cfg.check_uniqueness
 
-    # ---- consistency ----
-    cons = consistency_violations(df, cfg)
-    violation_frames.append(_violation_frame(cons, "consistency", cfg))
-    cons_counts = cons.groupBy(src).agg(
-        F.count(F.lit(1)).alias("consistency_violations")
+    # ---- consistency + referential: ONE corpus scan ----
+    # A row may violate both checks; array+explode emits one violation row
+    # per violated check, matching the per-check union semantics without a
+    # second scan of the corpus.
+    cons_reason = (
+        F.when(c(cfg.doc_id_col).isNull(), F.lit("null_doc_id"))
+        .when(c(cfg.tokens_col).isNull(), F.lit("null_tokens"))
+        .when(c(cfg.n_tok_col).isNull(), F.lit("null_n_tok"))
+        .when(
+            c(cfg.n_tok_col) != F.size(c(cfg.tokens_col)),
+            F.lit("n_tok_mismatch"),
+        )
     )
-
-    # ---- referential ----
-    if allowed_sources is not None and cfg.check_referential:
-        ref = referential_violations(df, allowed_sources, cfg)
-        violation_frames.append(_violation_frame(ref, "referential", cfg))
-        ref_counts = ref.groupBy(src).agg(
-            F.count(F.lit(1)).alias("referential_violations")
+    marked = df
+    if check_ref:
+        marker = allowed_sources.select(
+            c(cfg.source_col), F.lit(True).alias("_src_ok")
+        ).dropDuplicates([cfg.source_col])
+        marked = df.join(F.broadcast(marker), cfg.source_col, "left")
+    viol_structs = [
+        F.when(
+            cons_reason.isNotNull(),
+            F.struct(
+                F.lit("consistency").alias("check"),
+                cons_reason.alias("reason"),
+            ),
         )
-    else:
-        ref_counts = None
-
-    # ---- exact duplicates (the one wide shuffle; opt-in) ----
-    if exact_duplicates and cfg.check_uniqueness:
-        dups = duplicate_rows(df, cfg)
-        dup_rows_per_source = (
-            df.join(
-                dups.select(cfg.doc_id_col, "dup_count"),
-                cfg.doc_id_col,
-                "inner",
-            )
-            .groupBy(src)
-            .agg(F.count(F.lit(1)).alias("duplicate_rows"))
-        )
-        dup_viol = df.join(
-            dups.select(cfg.doc_id_col), cfg.doc_id_col, "left_semi"
-        )
-        violation_frames.append(
-            _violation_frame(
-                dup_viol.withColumn("reason", F.lit("duplicate_doc_id")),
-                "uniqueness",
-                cfg,
+    ]
+    if check_ref:
+        viol_structs.append(
+            F.when(
+                c("_src_ok").isNull(),
+                F.struct(
+                    F.lit("referential").alias("check"),
+                    F.lit("unknown_source").alias("reason"),
+                ),
             )
         )
-    else:
-        dup_rows_per_source = None
+    viol_arr = F.filter(
+        F.array(*viol_structs), lambda x: x.isNotNull()
+    )
+    row_viol = (
+        marked.where(F.size(viol_arr) > 0)
+        .select(
+            c(cfg.doc_id_col).alias("doc_id"),
+            c(cfg.source_col).alias("source"),
+            F.explode(viol_arr).alias("v"),
+        )
+        .select("v.check", "doc_id", "source", "v.reason")
+    )
+    violation_frames: list[DataFrame] = [row_viol]
+
+    # ---- exact duplicates: one wide shuffle, sources carried along ----
+    if check_dup:
+        dup_grp = (
+            df.groupBy(cfg.doc_id_col)
+            .agg(
+                F.count(F.lit(1)).alias("dup_count"),
+                F.collect_list(cfg.source_col).alias("_sources"),
+            )
+            .where(F.col("dup_count") > 1)
+        )
+        dup_viol = dup_grp.select(
+            F.lit("uniqueness").alias("check"),
+            c(cfg.doc_id_col).alias("doc_id"),
+            F.explode("_sources").alias("source"),
+            F.lit("duplicate_doc_id").alias("reason"),
+        )
+        violation_frames.append(dup_viol)
+
+    violations = violation_frames[0]
+    for vf in violation_frames[1:]:
+        violations = violations.unionByName(vf)
+    violations = violations.persist()
+
+    # ---- per-source violation counts from the persisted frame ----
+    is_check = lambda name: (c("check") == name).cast("long")  # noqa: E731
+    count_cols = [F.sum(is_check("consistency")).alias("consistency_violations")]
+    if check_ref:
+        count_cols.append(
+            F.sum(is_check("referential")).alias("referential_violations")
+        )
+    if check_dup:
+        count_cols.append(F.sum(is_check("uniqueness")).alias("duplicate_rows"))
+    viol_counts = violations.groupBy(c("source").alias(src)).agg(*count_cols)
 
     # ---- drift (KB-sized rollup → driver) ----
     drift: list[dict] = []
@@ -147,32 +178,28 @@ def validate_corpus(
 
     # ---- assemble verdicts ----
     verdicts = base
-    for extra in (cons_counts, ref_counts, dup_rows_per_source, drift_df):
+    for extra in (viol_counts, drift_df):
         if extra is not None:
             verdicts = verdicts.join(F.broadcast(extra), src, "left")
     zero = F.lit(0)
     verdicts = verdicts.fillna(
         {
             "consistency_violations": 0,
-            **({"referential_violations": 0} if ref_counts is not None else {}),
-            **({"duplicate_rows": 0} if dup_rows_per_source is not None else {}),
+            **({"referential_violations": 0} if check_ref else {}),
+            **({"duplicate_rows": 0} if check_dup else {}),
         }
     )
     if drift_df is not None:
         verdicts = verdicts.fillna({"drifted": False, "chi2": 0.0, "ks": 0.0})
 
     pass_expr = c("consistency_violations") == zero
-    if ref_counts is not None:
+    if check_ref:
         pass_expr = pass_expr & (c("referential_violations") == zero)
-    if dup_rows_per_source is not None:
+    if check_dup:
         pass_expr = pass_expr & (c("duplicate_rows") == zero)
     if drift_df is not None:
         pass_expr = pass_expr & (~c("drifted"))
-    verdicts = verdicts.withColumn("passed", pass_expr)
-
-    violations = violation_frames[0]
-    for vf in violation_frames[1:]:
-        violations = violations.unionByName(vf)
+    verdicts = verdicts.withColumn("passed", pass_expr).persist()
 
     report = ValidationReport(
         verdicts=verdicts, violations=violations, drift=drift
