@@ -338,7 +338,127 @@ def q_normalise_events_props(spark, sf_dir):
     return out.select("event_id", "norm")
 
 
+def q_hist_n_tok_corpus(spark, sf_dir):
+    """Token-length histogram of the derived corpus (SURVEY §7.1 step 3);
+    n_tok == whitespace word count, so DuckDB can oracle it from text."""
+    from polars_genson_spark.config import ValidationConfig
+    from polars_genson_spark.operators.stats import token_length_histogram
+
+    corpus = corpus_view(spark, sf_dir)
+    cfg = ValidationConfig(token_hist_bucket=16)
+    return token_length_histogram(corpus, cfg)
+
+
+def q_drift_ks_nchars(spark, sf_dir):
+    """KS D-statistic per source vs the rest over n_chars buckets — the
+    SQL-expressible face of the KS drift check. Runs on the KB-sized
+    (source, bucket) rollup; windows never touch raw rows."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", (F.col("n_chars") / 100).cast("long").alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    grid = (
+        counts.select("source").distinct()
+        .crossJoin(counts.select("bucket").distinct())
+    )
+    full = grid.join(counts, ["source", "bucket"], "left").fillna({"o": 0})
+    w = Window.partitionBy("source").orderBy("bucket")
+    cum = full.withColumn("cum_s", F.sum("o").over(w))
+    wall = Window.orderBy("bucket")
+    cum_all = (
+        counts.groupBy("bucket")
+        .agg(F.sum("o").alias("ob"))
+        .withColumn("cum_all", F.sum("ob").over(wall))
+        .select("bucket", "cum_all")
+    )
+    n_s = counts.groupBy("source").agg(F.sum("o").alias("n_s"))
+    grand = counts.agg(F.sum("o").alias("n"))
+    j = (
+        cum.join(F.broadcast(cum_all), "bucket")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    term = F.abs(
+        F.col("cum_s") / F.col("n_s")
+        - (F.col("cum_all") - F.col("cum_s")) / (F.col("n") - F.col("n_s"))
+    )
+    return j.groupBy("source").agg(F.round(F.max(term), 4).alias("ks"))
+
+
+def q_per_row_schema_events(spark, sf_dir):
+    from polars_genson_spark import infer_json_schema_per_row
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 50)
+    out = infer_json_schema_per_row(e, "props", output_col="schema_json")
+    return out.select("event_id", "schema_json")
+
+
+def q_normalise_decode_events(spark, sf_dir):
+    from polars_genson_spark import normalise_json
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 100).select(
+        "event_id", "props"
+    )
+    out = normalise_json(e, "props", decode=True, unnest=True)
+    return out.select("event_id", F.col("k").alias("k"))
+
+
+def q_language_id(spark, sf_dir):
+    from polars_genson_spark.operators.text import with_language_guess
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return with_language_guess(d).select("doc_id", "lang_guess")
+
+
+def q_token_counts_bpe(spark, sf_dir):
+    from polars_genson_spark.operators.text import with_token_counts
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return with_token_counts(d).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_actual"
+    )
+
+
+def q_dedup_survivors(spark, sf_dir):
+    from polars_genson_spark.operators.dedup import drop_exact_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return drop_exact_duplicates(d).select("doc_id")
+
+
 # --- rows-only (hash-dependent; no SQL oracle) -----------------------------
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    from polars_genson_spark.operators.text import with_fingerprint
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return with_fingerprint(d).select("doc_id", "fingerprint", "min_shingle_fp")
+
+
+def q_embedding_topk_lsh(spark, sf_dir):
+    from polars_genson_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return lsh_topk(e, dim=64, k=1)  # testdata embeddings are 64-dim
+
+
+def q_multimodal_features(spark, sf_dir):
+    from polars_genson_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 200, seed=7)
+    out = extract_features(media)
+    return out.select("media_id", "kind", F.size("features").alias("dim"))
+
+
+# --- legacy marker ----------------------------------------------------------
 
 
 def q_minhash_near_dupes(spark, sf_dir):
@@ -399,18 +519,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top2_orders": q_window_top2_orders,
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
+        "hist_n_tok_corpus": q_hist_n_tok_corpus,
+        "drift_ks_nchars": q_drift_ks_nchars,
         # training-data pipeline ops
         "dedup_exact_text": q_dedup_exact_text,
+        "dedup_survivors": q_dedup_survivors,
         "token_counts": q_token_counts,
+        "token_counts_bpe": q_token_counts_bpe,
         "quality": q_quality,
+        "language_id": q_language_id,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         # genson heritage (schema inference / normalisation)
         "schema_infer_events_props": q_schema_infer_events_props,
+        "per_row_schema_events": q_per_row_schema_events,
         "normalise_events_props": q_normalise_events_props,
-        # rows-only (hash-dependent / HLL)
+        "normalise_decode_events": q_normalise_decode_events,
+        # rows-only (hash-dependent / HLL / synthetic media)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "fingerprint_docs": q_fingerprint_docs,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+        "multimodal_features": q_multimodal_features,
         "corpus_verdicts": q_corpus_verdicts,
         "hll_uniqueness": q_hll_uniqueness,
     }
@@ -623,7 +753,117 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT), '}') AS norm
             FROM events WHERE event_id < 50
         """,
-        # minhash_near_dupes / simhash_fingerprints / corpus_verdicts /
-        # hll_uniqueness: intentionally no oracle (xxhash64/HLL internals
-        # are engine-specific) → driver records rows-only checks.
+        "hist_n_tok_corpus": """
+            SELECT source,
+                   CAST(floor(len(string_split_regex(trim(regexp_replace(
+                       lower(text), '\\s+', ' ', 'g')), ' ')) / 16)
+                       AS BIGINT) AS bucket,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1, 2
+        """,
+        "drift_ks_nchars": """
+            WITH counts AS (
+                SELECT source, CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+                       count(*) AS o
+                FROM documents GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT s.source, b.bucket
+                FROM (SELECT DISTINCT source FROM counts) s
+                CROSS JOIN (SELECT DISTINCT bucket FROM counts) b
+            ),
+            filled AS (
+                SELECT g.source, g.bucket, COALESCE(c.o, 0) AS o
+                FROM grid g LEFT JOIN counts c
+                  ON g.source = c.source AND g.bucket = c.bucket
+            ),
+            cum AS (
+                SELECT source, bucket,
+                       sum(o) OVER (PARTITION BY source ORDER BY bucket)
+                           AS cum_s
+                FROM filled
+            ),
+            ca AS (
+                SELECT bucket, sum(ob) OVER (ORDER BY bucket) AS cum_all
+                FROM (SELECT bucket, sum(o) AS ob FROM counts GROUP BY 1)
+            ),
+            ns AS (SELECT source, sum(o) AS n_s FROM counts GROUP BY 1),
+            g AS (SELECT sum(o) AS n FROM counts)
+            SELECT cum.source,
+                   round(max(abs(cum_s * 1.0 / n_s
+                       - (cum_all - cum_s) * 1.0 / (n - n_s))), 4) AS ks
+            FROM cum
+            JOIN ca USING (bucket)
+            JOIN ns ON cum.source = ns.source
+            CROSS JOIN g
+            GROUP BY cum.source
+        """,
+        "per_row_schema_events": (
+            "SELECT event_id, '"
+            + json.dumps(
+                {
+                    "properties": {"k": {"type": "integer"}},
+                    "required": ["k"],
+                    "type": "object",
+                },
+                sort_keys=True,
+                separators=(",", ":"),
+            )
+            + "' AS schema_json FROM events WHERE event_id < 50"
+        ),
+        "normalise_decode_events": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events WHERE event_id < 100
+        """,
+        "language_id": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(string_split_regex(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' ')) AS words
+                FROM documents WHERE doc_id < 300
+            ),
+            h AS (
+                SELECT doc_id,
+                       len(list_intersect(words, ['the','of','and','to','in',
+                           'is','that','it','was','for'])) AS h_en,
+                       len(list_intersect(words, ['le','la','les','de','des',
+                           'et','est','un','une','que'])) AS h_fr,
+                       len(list_intersect(words, ['der','die','das','und',
+                           'ist','von','ein','eine','mit','zu'])) AS h_de,
+                       len(list_intersect(words, ['el','la','los','de','y',
+                           'es','un','una','que','en'])) AS h_es
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'und'
+                        WHEN h_fr = greatest(h_en, h_fr, h_de, h_es) THEN 'fr'
+                        WHEN h_es = greatest(h_en, h_fr, h_de, h_es) THEN 'es'
+                        WHEN h_en = greatest(h_en, h_fr, h_de, h_es) THEN 'en'
+                        ELSE 'de' END AS lang_guess
+            FROM h
+        """,
+        "token_counts_bpe": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))
+                       AS n_bpe_tokens,
+                   length(text) AS n_chars_actual
+            FROM documents WHERE doc_id < 100
+        """,
+        "dedup_survivors": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY text ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        # minhash_near_dupes / simhash_fingerprints / fingerprint_docs /
+        # embedding_topk_lsh / multimodal_features / corpus_verdicts /
+        # hll_uniqueness: intentionally no oracle (xxhash64/HLL/LSH
+        # internals and synthetic media are engine-specific) → driver
+        # records rows-only checks.
     }

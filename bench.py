@@ -49,12 +49,17 @@ def main() -> None:
         "events_json",
         "stats_documents",
         "drift_nchars_chi2",
+        "drift_ks_nchars",
+        "hist_n_tok_corpus",
         "dedup_exact_text",
         "uniqueness_docs",
         "referential_lineitem_part",
         "minhash_near_dupes",
         "embedding_topk",
+        "embedding_topk_lsh",
+        "language_id",
         "schema_infer_events_props",
+        "normalise_decode_events",
         "corpus_verdicts",
     ]
 
