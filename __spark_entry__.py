@@ -140,8 +140,12 @@ def q_drift_nchars_chi2(spark, sf_dir):
     b = d.select(
         "source", (F.col("n_chars") / 100).cast("long").alias("bucket")
     )
-    counts = b.groupBy("source", "bucket").agg(
-        F.count(F.lit(1)).alias("o")
+    # persist the KB-sized rollup: the three marginal aggregations below
+    # each reuse it, so `documents` is scanned ONCE (not per branch)
+    counts = (
+        b.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
     )
     tot_source = counts.groupBy("source").agg(F.sum("o").alias("n_s"))
     tot_bucket = counts.groupBy("bucket").agg(F.sum("o").alias("n_b"))
@@ -356,10 +360,13 @@ def q_drift_ks_nchars(spark, sf_dir):
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
+    # persisted rollup: grid/cum/marginals all reuse it — one scan of the
+    # base table regardless of how many window branches consume it
     counts = (
         d.select("source", (F.col("n_chars") / 100).cast("long").alias("bucket"))
         .groupBy("source", "bucket")
         .agg(F.count(F.lit(1)).alias("o"))
+        .persist()
     )
     grid = (
         counts.select("source").distinct()

@@ -148,12 +148,17 @@ def minhash_candidates(
     num_perm: int = 64,
     bands: int = 16,
     min_jaccard: float = 0.5,
+    cache_entries: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: (id_a, id_b, est_jaccard).
 
     band hash = xxhash64 over each signature slice; docs sharing any band
     bucket become candidates; est_jaccard = fraction of matching
     signature components. The self-join runs on band buckets only.
+
+    ``cache_entries`` persists the band-entry table so the expensive
+    shingle→signature work runs ONCE instead of once per self-join side
+    (MEMORY_AND_DISK — spills rather than OOMs at scale).
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
@@ -187,6 +192,8 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("id", "minhash", "bb.band", "bb.bhash")
+    if cache_entries:
+        band_entries = band_entries.persist()
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -268,9 +275,12 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    cache_entries: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4×16-bit chunks: any pair within
-    Hamming distance ≤3 shares at least one exact chunk — pigeonhole)."""
+    Hamming distance ≤3 shares at least one exact chunk — pigeonhole).
+    ``cache_entries`` persists the chunk table so the 64-bit fingerprint is
+    computed once, not once per self-join side."""
     sh = with_simhash(df, text_col).select(
         F.col(id_col).alias("id"), "simhash"
     )
@@ -291,6 +301,8 @@ def simhash_candidates(
             )
         ).alias("cc"),
     ).select("id", "simhash", "cc.chunk", "cc.chash")
+    if cache_entries:
+        chunks = chunks.persist()
 
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
@@ -327,17 +339,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.8,
+    cache_entries: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams via an inverted index:
     explode shingles → self-join on shingle → |∩| per pair → Jaccard.
 
     Exact but quadratic in bucket collisions — the verification stage
     after LSH candidate generation, or standalone at moderate scale.
+    ``cache_entries`` persists the inverted index so shingling runs once.
     """
     sh = with_shingles(df, text_col, n).select(
         F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"), "shingles"
     )
     inv = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    if cache_entries:
+        inv = inv.persist()
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(

@@ -186,13 +186,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    cache_entries: bool = True,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates only within an LSH bucket of
     any of ``n_tables`` independent tables; comparisons are bounded by
-    bucket populations, never |N|²."""
+    bucket populations, never |N|². ``cache_entries`` persists the tagged
+    table so normalisation + bucket signatures compute once, not per
+    self-join side."""
     tagged = _multi_table_tagged(
         df, dim, n_planes, n_tables, id_col, vec_col, seed
     )
+    if cache_entries:
+        tagged = tagged.persist()
     a, b = tagged.alias("a"), tagged.alias("b")
     pairs = (
         a.join(
