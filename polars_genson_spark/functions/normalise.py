@@ -121,7 +121,9 @@ def normalise_value(
         if "null" in schema:
             if value is None:
                 return None
-            branch = next(t for t in schema if t != "null")
+            branch = next((t for t in schema if t != "null"), None)
+            if branch is None:  # union of only null: always-null field
+                return None
             return normalise_value(value, branch, cfg, field_name)
         if schema:
             return normalise_value(value, schema[0], cfg, field_name)

@@ -126,9 +126,24 @@ def _observe_cell(
     return True
 
 
-def partition_summaries(df: DataFrame, column: str, config: InferenceConfig) -> list[dict]:
+def partition_summaries(
+    df: DataFrame,
+    column: str,
+    config: InferenceConfig,
+    tree_merge_threshold: int = 256,
+    tree_group_size: int = 64,
+) -> list[dict]:
     """Run the distributed partial-fold; return per-partition summary dicts
-    sorted by partition id (the deterministic merge order)."""
+    sorted by partition id (the deterministic merge order).
+
+    With more than ``tree_merge_threshold`` partitions an intermediate
+    distributed merge level runs first (the treeAggregate depth-2 shape,
+    SURVEY §3.1): summaries are grouped by contiguous pid range
+    (``pid // tree_group_size``) and merged IN PID ORDER inside each group
+    via ``applyInPandas``, so the driver sees at most
+    ``n_partitions / tree_group_size`` summaries and determinism is
+    preserved (group key is monotonic in pid; within-group merge is
+    pid-sorted)."""
     cfg = config
 
     projected = (
@@ -164,9 +179,43 @@ def partition_summaries(df: DataFrame, column: str, config: InferenceConfig) -> 
                 }
             )
 
-    rows = projected.mapInPandas(
+    summaries = projected.mapInPandas(
         fold, schema="pid int, summary string, processed long, error string"
-    ).collect()
+    )
+
+    if projected.rdd.getNumPartitions() > tree_merge_threshold:
+
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("pid")  # deterministic within-group order
+            node = S.new_summary()
+            processed = 0
+            error: str | None = None
+            for _, row in pdf.iterrows():
+                if error is None and row["error"]:
+                    error = row["error"]
+                S.merge(node, json.loads(row["summary"]))
+                processed += int(row["processed"])
+            return pd.DataFrame(
+                {
+                    "pid": [int(pdf["pid"].iloc[0])],
+                    "summary": [json.dumps(node)],
+                    "processed": [processed],
+                    "error": [error],
+                }
+            )
+
+        summaries = (
+            summaries.withColumn(
+                "grp", (F.col("pid") / tree_group_size).cast("int")
+            )
+            .groupBy("grp")
+            .applyInPandas(
+                merge_group,
+                schema="pid int, summary string, processed long, error string",
+            )
+        )
+
+    rows = summaries.collect()
 
     out = sorted(
         (r.asDict() for r in rows), key=lambda r: r["pid"]

@@ -128,3 +128,35 @@ def test_avro_output_f1(spark):
     # optional fields → nullable unions
     assert by_name["city"] == ["null", "string"]
     assert by_name["email"] == ["null", "string"]
+
+
+def test_tree_merge_matches_flat(spark):
+    """Depth-2 tree merge (SURVEY §3.1) must produce the identical schema
+    to the flat per-partition collect, independent of grouping."""
+    import json as _json
+
+    from polars_genson_spark.functions import summary as S
+    from polars_genson_spark.operators.infer import partition_summaries
+
+    docs = [
+        _json.dumps({"a": i, "b": f"s{i}"} if i % 3 else {"a": i, "c": i / 2.0})
+        for i in range(200)
+    ]
+    df = make_json_df(spark, docs).repartition(8)
+    cfg = InferenceConfig()
+
+    def final(parts):
+        node = S.new_summary()
+        for p in parts:
+            S.merge(node, p["summary"])
+        return S.to_schema(node), sum(p["processed"] for p in parts)
+
+    flat = partition_summaries(df, "json_data", cfg, tree_merge_threshold=10_000)
+    tree = partition_summaries(
+        df, "json_data", cfg, tree_merge_threshold=2, tree_group_size=3
+    )
+    assert len(tree) < len(flat)  # the tree level actually merged something
+    fs, fn = final(flat)
+    ts, tn = final(tree)
+    assert fs == ts
+    assert fn == tn == 200
