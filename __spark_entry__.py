@@ -746,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT '"
             + json.dumps(
                 {
+                    "$schema": "http://json-schema.org/schema#",
                     "properties": {"k": {"type": "integer"}},
                     "required": ["k"],
                     "type": "object",
@@ -809,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, '"
             + json.dumps(
                 {
+                    "$schema": "http://json-schema.org/schema#",
                     "properties": {"k": {"type": "integer"}},
                     "required": ["k"],
                     "type": "object",

@@ -420,6 +420,11 @@ def unify_record_schemas(schemas, path, config) -> Optional[Json]:
 
     field_schemas: dict[str, list[Json]] = {}
     field_counts: dict[str, int] = {}
+    # anyOf-unified entries are appended AFTER the main loop, matching the
+    # reference's two-phase collection (unification.rs "Now add all the
+    # unified anyOf references") — this affects both the per-field branch
+    # order and, for fields seen only via anyOf, the field order itself.
+    deferred_anyof: list[tuple[str, Json]] = []
     for props in schema_properties:
         for field_name, field_schema in props.items():
             field_counts[field_name] = field_counts.get(field_name, 0) + 1
@@ -430,11 +435,11 @@ def unify_record_schemas(schemas, path, config) -> Optional[Json]:
             if isinstance(anyof, list):
                 unified_anyof = unify_anyof_schemas(anyof, field_name, config)
                 if unified_anyof is not None:
-                    field_schemas.setdefault(field_name, []).append(
-                        unified_anyof
-                    )
+                    deferred_anyof.append((field_name, unified_anyof))
                     continue
             field_schemas.setdefault(field_name, []).append(normalized)
+    for field_name, unified_anyof in deferred_anyof:
+        field_schemas.setdefault(field_name, []).append(unified_anyof)
 
     all_fields: dict[str, Json] = {}
     for field_name, schemas_for_field in field_schemas.items():
@@ -754,6 +759,11 @@ def rewrite_objects(
                     first_clone = copy.deepcopy(first)
                     obj.pop("properties", None)
                     obj.pop("required", None)
+                    # the map's value schema is itself subject to map
+                    # inference (pinned by map_encoding__cli_wrap_root:
+                    # identical 2-key records under a 2-key map become
+                    # map<map<string>> at map_threshold=2)
+                    rewrite_objects(first_clone, None, config, False)
                     obj["additionalProperties"] = first_clone
                     return
 

@@ -53,6 +53,19 @@ except ImportError:  # pragma: no cover
 
 MAX_JSON_ERROR_LENGTH = 100
 
+# Reference URI semantics (genson_rs/builder.rs:5-6, 18-41, 85-95):
+# schema_uri="AUTO" → emit the default URI; None → emit no $schema;
+# any other string → emit that string.
+DEFAULT_SCHEMA_URI = "http://json-schema.org/schema#"
+
+
+def _apply_schema_uri(schema: dict, config: InferenceConfig) -> dict:
+    if config.schema_uri == "AUTO":
+        return {"$schema": DEFAULT_SCHEMA_URI, **schema}
+    if config.schema_uri is not None:
+        return {"$schema": config.schema_uri, **schema}
+    return schema
+
 
 class SchemaInferenceError(ValueError):
     """Raised on invalid JSON in strict mode (reference schema.rs:187-204)."""
@@ -253,9 +266,7 @@ def infer_json_schema(
     if not isinstance(schema, dict):  # defensive; to_schema returns dict
         schema = {}
     postprocess_schema(schema, config)
-
-    if config.schema_uri not in (None, "AUTO"):
-        schema = {"$schema": config.schema_uri, **schema}
+    schema = _apply_schema_uri(schema, config)
 
     if config.avro:
         schema = json_schema_to_avro(schema)
@@ -287,8 +298,7 @@ def infer_json_schema_per_row(
             if not isinstance(schema, dict):
                 schema = {}
             postprocess_schema(schema, cfg)
-            if cfg.schema_uri not in (None, "AUTO"):
-                schema = {"$schema": cfg.schema_uri, **schema}
+            schema = _apply_schema_uri(schema, cfg)
             if cfg.avro:
                 schema = json_schema_to_avro(schema)
             return json.dumps(schema, separators=(",", ":"), sort_keys=True)
