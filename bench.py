@@ -84,6 +84,39 @@ def main() -> None:
     validate_sec = time.perf_counter() - t0
     timings["corpus_validate_full"] = round(validate_sec, 3)
 
+    # flagship at scale: full validation of a generated 1M-row corpus
+    # (generation + cache materialisation excluded from the timed window)
+    from polars_genson_spark.config import ValidationConfig
+    from polars_genson_spark.operators.verdicts import (
+        finalise_summary,
+        validate_corpus,
+    )
+    from polars_genson_spark.sources.corpus import (
+        allowed_sources_df,
+        generate_corpus,
+    )
+
+    n_big = 1_000_000
+    big = generate_corpus(spark, n_big, seed=42).persist()
+    big.count()
+    allowed = allowed_sources_df(spark)
+    t0 = time.perf_counter()
+    report = validate_corpus(big, allowed, ValidationConfig())
+    finalise_summary(report)
+    report.violations.count()
+    big_sec = time.perf_counter() - t0
+    report.violations.unpersist()
+    report.verdicts.unpersist()
+    big.unpersist()
+    timings["corpus_validate_1m"] = round(big_sec, 3)
+
+    # schema-inference throughput (reference benchmarks 10-row latency at
+    # ~36.6 inferences/s; we measure docs/sec through the same pipeline)
+    n_docs = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    t0 = time.perf_counter()
+    q["schema_infer_events_props"](spark, sf_dir).count()
+    infer_sec = time.perf_counter() - t0
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_seconds",
@@ -93,6 +126,8 @@ def main() -> None:
         "sf": sf,
         "validated_rows": n_rows,
         "validated_rows_per_sec": round(n_rows / validate_sec, 1),
+        "corpus_1m_rows_per_sec": round(n_big / big_sec, 1),
+        "inferred_docs_per_sec": round(n_docs / infer_sec, 1),
         "cpus": int(cpus),
     }
     print(json.dumps(out))
