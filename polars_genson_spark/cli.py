@@ -1,0 +1,161 @@
+"""genson-style CLI over the Spark engine — flag-compatible with the
+reference's ``genson-cli`` (/root/reference/genson-cli/src/main.rs:17-347).
+
+Usage:
+    python -m polars_genson_spark.cli [FLAGS] [FILE]
+
+Reads FILE (or stdin) as one JSON document — or one per line with
+``--ndjson`` — infers the merged schema, and prints it pretty-printed
+(or Avro with ``--avro``); with ``--normalise`` prints the normalised
+rows instead (one JSON line per row for NDJSON, else a pretty array).
+``processed_count`` goes to stderr, exactly like the reference
+(main.rs:272).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+
+from .config import InferenceConfig, NormaliseConfig
+
+HELP = """genson-spark CLI — infer/normalise JSON schemas on Spark
+
+flags (reference-compatible):
+  --ndjson                     one JSON document per input line
+  --no-ignore-array            treat a top-level array as one value
+  --avro                       emit an Avro schema
+  --normalise                  print schema-normalised rows
+  --coerce-strings             normalise: coerce "42" -> 42 etc.
+  --keep-empty                 normalise: keep empty arrays/maps
+  --map-encoding E             mapping|entries|kv (default mapping)
+  --map-threshold N            min keys for map inference (default 20)
+  --map-max-rk N               max required keys for map conversion
+  --unify-maps                 unify compatible record values into maps
+  --no-unify F1,F2             exclude fields from unification
+  --force-type f:map|f:record  force a field's inferred type
+  --force-parent-type f:T      force by parent field
+  --force-scalar-promotion F   always wrap these scalar fields
+  --no-wrap-scalars            disable scalar promotion
+  --wrap-root NAME             wrap each doc as {NAME: doc}
+  --root-map                   allow the root object to become a map
+  FILE                         input path (default stdin)
+"""
+
+
+def parse_cli_args(
+    args: list[str],
+) -> tuple[InferenceConfig, NormaliseConfig, bool, str | None]:
+    """Parse reference-compatible flags → (infer_cfg, norm_cfg, normalise?,
+    input_path). Shared with the snapshot replay tests."""
+    kw: dict = {}
+    map_encoding = "mapping"  # CLI default (main.rs:29)
+    coerce = False
+    keep_empty = False
+    normalise = False
+    input_path: str | None = None
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in ("--help", "-h"):
+            print(HELP)
+            raise SystemExit(0)
+        elif a == "--map-threshold":
+            kw["map_threshold"] = int(args[i + 1]); i += 2
+        elif a == "--unify-maps":
+            kw["unify_maps"] = True; i += 1
+        elif a == "--wrap-root":
+            kw["wrap_root"] = args[i + 1]; i += 2
+        elif a == "--ndjson":
+            kw["ndjson"] = True; i += 1
+        elif a in ("--map-max-required-keys", "--map-max-rk"):
+            kw["map_max_required_keys"] = int(args[i + 1]); i += 2
+        elif a == "--no-unify":
+            kw["no_unify"] = frozenset(args[i + 1].split(",")); i += 2
+        elif a == "--force-type":
+            f, t = args[i + 1].split(":", 1)
+            kw.setdefault("force_field_types", {})[f] = t; i += 2
+        elif a == "--force-parent-type":
+            f, t = args[i + 1].split(":", 1)
+            kw.setdefault("force_parent_field_types", {})[f] = t; i += 2
+        elif a == "--force-scalar-promotion":
+            kw["force_scalar_promotion"] = frozenset(
+                args[i + 1].split(",")
+            ); i += 2
+        elif a == "--no-wrap-scalars":
+            kw["wrap_scalars"] = False; i += 1
+        elif a == "--root-map":
+            kw["no_root_map"] = False; i += 1
+        elif a == "--no-ignore-array":
+            kw["ignore_outer_array"] = False; i += 1
+        elif a == "--avro":
+            kw["avro"] = True; i += 1
+        elif a in ("--normalise", "--normalize"):
+            normalise = True; i += 1
+        elif a == "--coerce-strings":
+            coerce = True; i += 1
+        elif a == "--keep-empty":
+            keep_empty = True; i += 1
+        elif a == "--map-encoding":
+            map_encoding = args[i + 1]; i += 2
+        elif a == "--max-builders":
+            kw["max_builders"] = int(args[i + 1]); i += 2
+        elif a in ("--debug", "--profile", "--verbose"):
+            i += 1  # reference diagnostics; no-ops here
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag: {a}")
+        else:
+            input_path = a; i += 1
+    cfg = InferenceConfig(**kw)
+    norm = NormaliseConfig(
+        empty_as_null=not keep_empty,
+        coerce_string=coerce,
+        map_encoding=map_encoding,
+        wrap_root=cfg.wrap_root,
+    )
+    return cfg, norm, normalise, input_path
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .operators.infer import infer_json_schema
+    from .functions.normalise import normalise_document
+    from .session import get_spark
+
+    cfg, norm, normalise, input_path = parse_cli_args(
+        list(sys.argv[1:] if argv is None else argv)
+    )
+    text = (
+        open(input_path).read() if input_path else sys.stdin.read()
+    )
+
+    spark = get_spark(app_name="genson-spark-cli")
+    try:
+        df = spark.createDataFrame([(text,)], "doc string")
+        if normalise:
+            acfg = dataclasses.replace(cfg, avro=True)
+            res = infer_json_schema(df, "doc", acfg)
+            if cfg.ndjson:
+                docs = [
+                    json.loads(l) for l in text.splitlines() if l.strip()
+                ]
+            else:
+                d = json.loads(text)
+                docs = d if isinstance(d, list) else [d]
+            rows = [normalise_document(d, res.schema, norm) for d in docs]
+            if cfg.ndjson:
+                for r in rows:
+                    print(json.dumps(r, separators=(",", ":")))
+            else:
+                print(json.dumps(rows, indent=2))
+        else:
+            res = infer_json_schema(df, "doc", cfg)
+            print(json.dumps(res.schema, indent=2))
+        print(f"Processed {res.processed_count} documents", file=sys.stderr)
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

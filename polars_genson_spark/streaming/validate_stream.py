@@ -9,6 +9,12 @@ streaming pipeline.
   (pure narrow filter — trivially streamable)
 - ``stream_source_stats``: running per-source counters via update-mode
   aggregation
+- ``stream_windowed_stats``: event-time windowed per-source stats with a
+  watermark for late data
+- ``stream_running_verdicts``: custom stateful operator via
+  ``applyInPandasWithState`` — per-source running totals + pass/fail
+  maintained across micro-batches (the Spark-native analogue of the
+  engine's per-partition verdicts, kept incrementally)
 - ``run_streaming_validation``: foreachBatch loop that applies the full
   batch validator incrementally and maintains the checkpoint manifest —
   the production shape (reuses one code path for batch and streaming).
@@ -78,6 +84,93 @@ def stream_source_stats(
             (F.col(cfg.n_tok_col) != F.size(F.col(cfg.tokens_col)))
             .cast("long")
         ).alias("n_tok_mismatch"),
+    )
+
+
+def stream_windowed_stats(
+    stream: DataFrame,
+    event_time_col: str = "ingest_ts",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    cfg: ValidationConfig | None = None,
+) -> DataFrame:
+    """Event-time windowed per-source stats with late-data handling:
+    rows later than ``watermark`` behind the max seen event time are
+    dropped and their window state is reclaimed."""
+    cfg = cfg or ValidationConfig()
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.window(F.col(event_time_col), window_duration),
+            F.col(cfg.source_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct(cfg.doc_id_col).alias("approx_distinct"),
+            F.sum(
+                (F.col(cfg.n_tok_col) != F.size(F.col(cfg.tokens_col)))
+                .cast("long")
+            ).alias("n_tok_mismatch"),
+        )
+    )
+
+
+def stream_running_verdicts(
+    stream: DataFrame, cfg: ValidationConfig | None = None
+) -> DataFrame:
+    """Custom stateful operator: per-source running verdict via
+    ``applyInPandasWithState``.
+
+    State = (rows_total, violations_total, batches); each micro-batch
+    folds its rows into the state with vectorized pandas ops (no per-row
+    Python), and emits the updated running verdict row for the source.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cfg = cfg or ValidationConfig()
+    doc_c, tok_c, n_c = cfg.doc_id_col, cfg.tokens_col, cfg.n_tok_col
+
+    out_schema = (
+        "source string, rows_total long, violations_total long, "
+        "batches long, passed boolean"
+    )
+    state_schema = "rows_total long, violations_total long, batches long"
+
+    def update(key, pdfs, state):
+        rows = viol = 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            sizes = pdf[tok_c].str.len()
+            bad = (
+                pdf[doc_c].isna()
+                | pdf[tok_c].isna()
+                | pdf[n_c].isna()
+                | (sizes != pdf[n_c])
+            )
+            viol += int(bad.sum())
+        if state.exists:
+            r0, v0, b0 = state.get
+        else:
+            r0 = v0 = b0 = 0
+        r, v, b = r0 + rows, v0 + viol, b0 + 1
+        state.update((r, v, b))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "rows_total": [r],
+                "violations_total": [v],
+                "batches": [b],
+                "passed": [v == 0],
+            }
+        )
+
+    return stream.groupBy(cfg.source_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

@@ -118,3 +118,84 @@ def test_streaming_validation(spark, tmp_path):
     q2.awaitTermination(120)
     rows = spark.sql("select * from src_stats").collect()
     assert sum(r["n_rows"] for r in rows) == 6000
+
+
+def test_stream_running_verdicts_stateful(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: running per-source
+    verdicts accumulate across micro-batches."""
+    from polars_genson_spark.streaming.validate_stream import (
+        read_corpus_stream,
+        stream_running_verdicts,
+    )
+
+    in_dir = str(tmp_path / "in_state")
+    os.makedirs(in_dir, exist_ok=True)
+    generate_corpus(spark, 2000, seed=11).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    out = stream_running_verdicts(read_corpus_stream(spark, in_dir))
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("run_verdicts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["source"]: r for r in spark.sql("SELECT * FROM run_verdicts").collect()
+    }
+    assert sum(r["rows_total"] for r in rows.values()) == 2000
+    # every source emitted a verdict with batch count >= 1
+    assert all(r["batches"] >= 1 for r in rows.values())
+    # planted mismatches/nulls exist somewhere in 2000 rows → some source
+    # fails; clean sources pass
+    assert all(
+        r["passed"] == (r["violations_total"] == 0) for r in rows.values()
+    )
+
+
+def test_stream_windowed_stats_watermark(spark, tmp_path):
+    """Event-time windowed stats with watermark compile and run on a
+    timestamped corpus stream."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from polars_genson_spark.streaming.validate_stream import (
+        CORPUS_SCHEMA,
+        stream_windowed_stats,
+    )
+
+    in_dir = str(tmp_path / "in_ts")
+    os.makedirs(in_dir, exist_ok=True)
+    base = generate_corpus(spark, 1000, seed=12)
+    with_ts = base.withColumn(
+        "ingest_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + (F.xxhash64("doc_id") % 300).cast("int").cast("string")
+        .cast("interval second"),
+    )
+    with_ts.coalesce(1).write.mode("append").parquet(in_dir)
+
+    ts_schema = T.StructType(
+        CORPUS_SCHEMA.fields
+        + [T.StructField("ingest_ts", T.TimestampType(), True)]
+    )
+    stream = (
+        spark.readStream.schema(ts_schema).parquet(in_dir)
+    )
+    agg = stream_windowed_stats(stream, "ingest_ts", "1 minute", "2 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_stats").collect()
+    # with a 5-minute event spread over 1-minute windows, multiple windows
+    # close under the watermark and emit
+    assert len(rows) > 0
+    assert sum(r["n_rows"] for r in rows) <= 1000

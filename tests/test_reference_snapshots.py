@@ -25,8 +25,8 @@ import os
 import pytest
 import yaml
 
-from polars_genson_spark import NormaliseConfig, infer_json_schema
-from polars_genson_spark.config import InferenceConfig
+from polars_genson_spark import infer_json_schema
+from polars_genson_spark.cli import parse_cli_args
 from polars_genson_spark.functions.normalise import normalise_document
 
 SNAP_DIR = "/root/reference/genson-cli/tests/snapshots"
@@ -56,51 +56,6 @@ def parse_snap(path: str):
     return info.get("args", []), info.get("fixture"), info.get("input"), body
 
 
-def build_config(args: list[str], avro: bool) -> InferenceConfig:
-    kw: dict = dict(avro=avro)
-    i = 0
-    while i < len(args):
-        a = args[i]
-        if a == "--map-threshold":
-            kw["map_threshold"] = int(args[i + 1]); i += 2
-        elif a == "--unify-maps":
-            kw["unify_maps"] = True; i += 1
-        elif a == "--wrap-root":
-            kw["wrap_root"] = str(args[i + 1]); i += 2
-        elif a == "--ndjson":
-            kw["ndjson"] = True; i += 1
-        elif a in ("--map-max-required-keys", "--map-max-rk"):
-            kw["map_max_required_keys"] = int(args[i + 1]); i += 2
-        elif a == "--no-unify":
-            kw["no_unify"] = frozenset(str(args[i + 1]).split(",")); i += 2
-        elif a == "--force-type":
-            f, t = str(args[i + 1]).split(":", 1)
-            kw.setdefault("force_field_types", {})[f] = t; i += 2
-        elif a == "--force-parent-type":
-            f, t = str(args[i + 1]).split(":", 1)
-            kw.setdefault("force_parent_field_types", {})[f] = t; i += 2
-        elif a == "--force-scalar-promotion":
-            kw["force_scalar_promotion"] = frozenset(
-                str(args[i + 1]).split(",")
-            ); i += 2
-        elif a == "--no-wrap-scalars":
-            kw["wrap_scalars"] = False; i += 1
-        elif a == "--root-map":
-            kw["no_root_map"] = False; i += 1
-        elif a == "--no-ignore-array":
-            kw["ignore_outer_array"] = False; i += 1
-        else:
-            i += 1
-    return InferenceConfig(**kw)
-
-
-def _map_encoding(args):
-    for i, a in enumerate(args):
-        if a == "--map-encoding":
-            return str(args[i + 1])
-    return "mapping"  # the CLI default (main.rs:29)
-
-
 def _parse_rows(body: str):
     body_s = body.strip()
     if body_s.startswith("["):
@@ -120,11 +75,9 @@ def test_snapshot_replay(spark, name):
     path = os.path.join(SNAP_DIR, name)
     args, fixture, inp, body = parse_snap(path)
     args = [str(a) for a in args]
-    is_avro = "--avro" in args
-    is_norm = (
-        "--normalise" in args or "--normalize" in args or "__normalize" in name
-    )
-    ndjson = "--ndjson" in args
+    cfg, ncfg, is_norm, _ = parse_cli_args(args)
+    is_norm = is_norm or "__normalize" in name
+    ndjson = cfg.ndjson
 
     if fixture:
         fpath = os.path.join(REF_ROOT, fixture)
@@ -143,7 +96,6 @@ def test_snapshot_replay(spark, name):
         pytest.xfail("known divergence: required-marker inside deeply "
                      "unified record under scalar promotion (see docstring)")
 
-    cfg = build_config(args, avro=is_avro and not is_norm)
     df = spark.createDataFrame([(text,)], "j string")
 
     if not is_norm:
@@ -153,12 +105,6 @@ def test_snapshot_replay(spark, name):
     else:
         acfg = dataclasses.replace(cfg, avro=True)
         avro_schema = infer_json_schema(df, "j", acfg).schema
-        ncfg = NormaliseConfig(
-            wrap_root=cfg.wrap_root,
-            map_encoding=_map_encoding(args),
-            coerce_string="--coerce-strings" in args,
-            empty_as_null="--keep-empty" not in args,
-        )
         if ndjson:
             docs = [json.loads(l) for l in text.splitlines() if l.strip()]
         else:
@@ -169,3 +115,23 @@ def test_snapshot_replay(spark, name):
         if not isinstance(want, list):
             want = [want]
         assert got == want
+
+
+def test_cli_end_to_end(tmp_path):
+    """The genson-style CLI surface itself (subprocess, own session)."""
+    import subprocess
+    import sys as _sys
+
+    f = tmp_path / "in.jsonl"
+    f.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y", "c": true}\n')
+    proc = subprocess.run(
+        [_sys.executable, "-m", "polars_genson_spark.cli", "--ndjson", str(f)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        check=True,
+    )
+    schema = json.loads(proc.stdout)
+    assert schema["properties"]["a"] == {"type": "integer"}
+    assert schema["required"] == ["a", "b"]
+    assert "Processed 1 documents" in proc.stderr  # 1 cell, like the reference
