@@ -454,6 +454,24 @@ def q_embedding_topk_lsh(spark, sf_dir):
     return lsh_topk(e, dim=64, k=1)  # testdata embeddings are 64-dim
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    from polars_genson_spark.operators.dedup import simhash_candidates
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return simhash_candidates(d, max_hamming=3)
+
+
+def q_embedding_near_dupes(spark, sf_dir):
+    from polars_genson_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    # synthetic embeddings are near-orthogonal; 0.3 yields a small
+    # non-empty candidate set so the rows-only check exercises real output
+    return embedding_near_duplicates(e, dim=64, threshold=0.3)
+
+
 def q_multimodal_features(spark, sf_dir):
     from polars_genson_spark.operators.multimodal import (
         extract_features,
@@ -545,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (hash-dependent / HLL / synthetic media)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_near_dupes": q_embedding_near_dupes,
         "fingerprint_docs": q_fingerprint_docs,
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "multimodal_features": q_multimodal_features,

@@ -116,6 +116,30 @@ def run_validation(
     }
 
 
+def make_pyfiles_zip(output_path: str) -> str:
+    """Package the engine for ``spark-submit --py-files``: one zip with the
+    ``polars_genson_spark`` package at its root, importable on executors.
+
+    Usage on a cluster:
+        spark-submit --py-files pgs.zip your_job.py
+    """
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    with zipfile.ZipFile(output_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    pkg_name, os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    return output_path
+
+
 # ---------------------------------------------------------------------------
 # Scaling benchmark (N vs 4N cores — sandbox stand-in for N vs 4N executors)
 # ---------------------------------------------------------------------------
@@ -275,6 +299,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--large", type=int, default=32)
     s.add_argument("--no-pin", action="store_true")
 
+    z = sub.add_parser("package", help="build the --py-files zip")
+    z.add_argument("--output", default="polars_genson_spark.zip")
+
     b = sub.add_parser("bench-one", help="one pinned throughput measurement")
     b.add_argument("--rows", type=int, required=True)
     b.add_argument("--cores", type=int, required=True)
@@ -293,6 +320,9 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(bench_one(args.rows, args.cores, args.seed, args.reps))
         )
+        return 0
+    if args.cmd == "package":
+        print(make_pyfiles_zip(args.output))
         return 0
 
     spark = get_spark("polars-genson-spark-job")
