@@ -472,6 +472,13 @@ def q_embedding_near_dupes(spark, sf_dir):
     return embedding_near_duplicates(e, dim=64, threshold=0.3)
 
 
+def q_embedding_topk_ivf(spark, sf_dir):
+    from polars_genson_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return ivf_topk(e, dim=64, k=1, n_centroids=8, n_probe=2, seed=7)
+
+
 def q_multimodal_features(spark, sf_dir):
     from polars_genson_spark.operators.multimodal import (
         extract_features,
@@ -567,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dupes": q_embedding_near_dupes,
         "fingerprint_docs": q_fingerprint_docs,
         "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "corpus_verdicts": q_corpus_verdicts,
         "hll_uniqueness": q_hll_uniqueness,

@@ -266,3 +266,118 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + probed bucket join
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer with MLlib KMeans (distributed).
+
+    Returns centroid vectors as plain lists — KB-sized, broadcast into
+    literal expressions downstream so assignment stays in codegen."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if n_centroids < 2:
+        raise ValueError(
+            "n_centroids must be >= 2 (MLlib KMeans constraint); "
+            "for a single bucket use pairwise_topk (brute force)"
+        )
+    normed = with_normalized(df, vec_col)
+    feats = normed.select(array_to_vector("vec_norm").alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _centroid_ranks(vec_col_expr, centroids: list[list[float]]):
+    """Array of centroid indices sorted by descending dot product."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(
+                    vec_col_expr,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                ).alias("score"),
+                F.lit(i).alias("idx"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.reverse(F.array_sort(scored))
+    return F.transform(ranked, lambda s: s["idx"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    cache_entries: bool = True,
+) -> DataFrame:
+    """Approximate all-pairs top-k via IVF: every vector is indexed under
+    its nearest centroid; as a query it probes its ``n_probe`` nearest
+    centroid buckets. Comparisons are bounded by bucket populations — the
+    coarse-quantizer sibling of :func:`lsh_topk` (the brief's "IVF or
+    LSH" scale path; both provided).
+
+    Pass precomputed ``centroids`` (e.g. from :func:`train_ivf_centroids`
+    on a sample) to skip training; at 100 TB you train the quantizer once
+    on a small sample and reuse it for every shard."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_centroids, vec_col, seed=seed
+        )
+
+    normed = with_normalized(df, vec_col).select(
+        F.col(id_col).alias("id"), "vec_norm"
+    )
+    ranks = _centroid_ranks(F.col("vec_norm"), centroids)
+    tagged = normed.withColumn("_ranks", ranks)
+    members = tagged.select(
+        "id", "vec_norm", F.element_at("_ranks", 1).alias("bucket")
+    )
+    queries = tagged.select(
+        "id",
+        F.col("vec_norm").alias("qvec"),
+        F.explode(F.slice("_ranks", 1, n_probe)).alias("bucket"),
+    )
+    if cache_entries:
+        members = members.persist()
+        queries = queries.persist()
+
+    pairs = (
+        queries.alias("a")
+        .join(
+            members.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(_dot(F.col("a.qvec"), F.col("b.vec_norm")), 6).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b")
+    )
+    return pairs.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -218,3 +218,38 @@ def test_frame_sampling(spark):
     frames = multimodal.sample_frames(media, every_ms=500)
     vids = media.where(F.col("meta.kind") == "video").count()
     assert frames.select("media_id").distinct().count() == vids
+
+
+def test_ivf_recall_against_brute_force(emb):
+    """IVF (KMeans coarse quantizer + probed buckets) finds most exact
+    nearest neighbours; with n_probe == n_centroids it degenerates to
+    brute force (sanity bound)."""
+    sample = emb.limit(120)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.pairwise_topk(sample, k=1).collect()
+    }
+    approx = similarity.ivf_topk(
+        sample, dim=64, k=1, n_centroids=8, n_probe=2, seed=7
+    ).collect()
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx}
+    recall = len(exact & approx_pairs) / max(len(exact), 1)
+    assert recall > 0.25
+
+    full = similarity.ivf_topk(
+        sample, dim=64, k=1, n_centroids=4, n_probe=4, seed=7
+    ).collect()
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full}
+    assert full_pairs == exact  # probing every bucket == brute force
+
+
+def test_ivf_pretrained_centroids(emb):
+    """train-once / reuse path: centroids trained on a sample drive
+    assignment without retraining."""
+    sample = emb.limit(60)
+    cents = similarity.train_ivf_centroids(sample, n_centroids=4, seed=7)
+    assert len(cents) == 4 and len(cents[0]) == 64
+    out = similarity.ivf_topk(
+        sample, dim=64, k=1, centroids=cents, n_probe=2
+    )
+    assert out.count() > 0
