@@ -430,6 +430,26 @@ def q_token_counts_bpe(spark, sf_dir):
     )
 
 
+def q_redactions(spark, sf_dir):
+    from polars_genson_spark.operators.text import with_redactions
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return with_redactions(d).select("doc_id", "text_redacted")
+
+
+def q_chunk_tokens(spark, sf_dir):
+    """Fixed-size training chunks over the derived corpus; the oracle
+    reproduces chunk lengths from word counts (chunk content is
+    hash-derived and engine-specific, so only lengths are compared)."""
+    from polars_genson_spark.operators.text import chunk_tokens
+
+    corpus = corpus_view(spark, sf_dir).where(
+        F.col("doc_id").cast("long") < 300
+    )
+    out = chunk_tokens(corpus, chunk_size=32)
+    return out.select("doc_id", "chunk_id", "n_chunk_tokens")
+
+
 def q_dedup_survivors(spark, sf_dir):
     from polars_genson_spark.operators.dedup import drop_exact_duplicates
 
@@ -560,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_bpe": q_token_counts_bpe,
         "quality": q_quality,
         "language_id": q_language_id,
+        "redactions": q_redactions,
+        "chunk_tokens": q_chunk_tokens,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         # genson heritage (schema inference / normalisation)
@@ -888,6 +910,33 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens,
                    length(text) AS n_chars_actual
             FROM documents WHERE doc_id < 100
+        """,
+        "redactions": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\d{7,}', '<NUM>', 'g') AS text_redacted
+            FROM documents WHERE doc_id < 100
+        """,
+        "chunk_tokens": """
+            WITH w AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       len(string_split_regex(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' ')) AS n
+                FROM documents WHERE doc_id < 300
+            ),
+            c AS (
+                SELECT doc_id, n,
+                       unnest(generate_series(0,
+                           CAST(ceil(n / 32.0) AS INT) - 1)) AS chunk_id
+                FROM w WHERE n > 0
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(least(32, n - chunk_id * 32) AS INT)
+                       AS n_chunk_tokens
+            FROM c
         """,
         "dedup_survivors": """
             SELECT doc_id FROM (

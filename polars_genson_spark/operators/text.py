@@ -107,3 +107,50 @@ def with_fingerprint(
     return df.withColumn("fingerprint", exact_fp).withColumn(
         "min_shingle_fp", F.array_min(rolling)
     )
+
+
+# Training-pipeline hygiene: PII-style redaction + fixed-size chunking.
+
+REDACTION_PATTERNS = [
+    # order matters: URLs before bare domains/emails would be, emails
+    # before digit runs (emails may contain digits)
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{7,}", "<NUM>"),  # long digit runs (phone/account-ish)
+]
+
+
+def with_redactions(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace URLs, emails, and long digit runs with typed placeholder
+    tokens — pure ``regexp_replace`` chain, whole-stage codegen."""
+    expr = F.col(text_col)
+    for pat, repl in REDACTION_PATTERNS:
+        expr = F.regexp_replace(expr, pat, repl)
+    return df.withColumn(out_col, expr)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Split each document's token array into fixed-size training chunks:
+    one output row per chunk (id, chunk_id, chunk_tokens, n_chunk_tokens).
+    JVM-side sequence/slice/posexplode — no shuffle, no Python; row count
+    grows by ceil(n_tok / chunk_size) per doc."""
+    n = F.size(F.col(tokens_col))
+    n_chunks = F.ceil(n / F.lit(chunk_size)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.slice(F.col(tokens_col), i * chunk_size + 1, chunk_size),
+    )
+    exploded = df.where(n > 0).select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk_tokens"),
+    )
+    return exploded.withColumn(
+        "n_chunk_tokens", F.size("chunk_tokens")
+    )

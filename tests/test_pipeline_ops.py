@@ -253,3 +253,40 @@ def test_ivf_pretrained_centroids(emb):
         sample, dim=64, k=1, centroids=cents, n_probe=2
     )
     assert out.count() > 0
+
+
+def test_redactions(spark):
+    from polars_genson_spark.operators.text import with_redactions
+
+    df = spark.createDataFrame(
+        [("mail me at a.b+c@example.org or visit https://x.io/p?q=1 "
+          "ref 12345678 ok",)],
+        "text string",
+    )
+    out = with_redactions(df).first()["text_redacted"]
+    assert "<EMAIL>" in out and "<URL>" in out and "<NUM>" in out
+    assert "example.org" not in out and "12345678" not in out
+
+
+def test_chunk_tokens_shapes(spark):
+    from polars_genson_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [("d1", list(range(70))), ("d2", list(range(32))), ("d3", [])],
+        "doc_id string, tokens array<int>",
+    )
+    rows = chunk_tokens(df, chunk_size=32).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_chunk_tokens"])
+        )
+    assert by_doc["d1"] == [(0, 32), (1, 32), (2, 6)]
+    assert by_doc["d2"] == [(0, 32)]
+    assert "d3" not in by_doc  # empty docs emit no chunks
+    # chunk contents partition the original array in order
+    d1 = sorted(
+        (r["chunk_id"], r["chunk_tokens"]) for r in rows if r["doc_id"] == "d1"
+    )
+    flat = [t for _, chunk in d1 for t in chunk]
+    assert flat == list(range(70))
