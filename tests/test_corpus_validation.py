@@ -150,3 +150,27 @@ def test_clean_corpus_passes(spark):
     summary = finalise_summary(report)
     assert summary["all_passed"] is True
     assert report.violations.count() == 0
+
+
+def test_validation_invariant_to_partition_layout(spark):
+    """Verdicts and violation rows must be identical regardless of how the
+    input is partitioned — the engine-level merge-order-determinism
+    guarantee (SURVEY §7.3-1 generalised from schema merge to checks)."""
+    cfg = ValidationConfig()
+    allowed = allowed_sources_df(spark)
+    base = generate_corpus(spark, 30000, seed=9)
+
+    def run(df):
+        report = validate_corpus(df, allowed, cfg)
+        verdicts = sorted(
+            tuple(r) for r in report.verdicts.drop("approx_distinct").collect()
+        )
+        violations = sorted(tuple(r) for r in report.violations.collect())
+        report.verdicts.unpersist()
+        report.violations.unpersist()
+        return verdicts, violations
+
+    v1 = run(base.repartition(3))
+    v2 = run(base.repartition(17, "source"))
+    v3 = run(base.coalesce(1))
+    assert v1 == v2 == v3
