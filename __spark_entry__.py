@@ -78,7 +78,10 @@ def q_stats_documents(spark, sf_dir):
         F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
         F.min("n_chars").alias("min_n_chars"),
         F.max("n_chars").alias("max_n_chars"),
-        F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
+        # decimal cast makes the rounded value representation-stable:
+        # Spark HALF_UP on doubles vs DuckDB round() can differ by 1 ULP,
+        # which a repr hash catches; decimal(18,4) pins both to 4 digits
+        F.round(F.avg("n_chars"), 4).cast("decimal(18,4)").alias("avg_n_chars"),
     )
 
 
@@ -240,7 +243,7 @@ def q_events_json(spark, sf_dir):
     k = F.get_json_object("props", "$.k").cast("long")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.avg("value"), 4).cast("decimal(18,4)").alias("avg_value"),
         F.sum(k).alias("sum_k"),
     )
 
@@ -301,6 +304,9 @@ def q_quality(spark, sf_dir):
 
 
 def q_word_jaccard_pairs(spark, sf_dir):
+    """Trigram shingles + document-frequency cutoff: the scale-safe
+    parameterisation (round-1's unigram/0.2 demo degenerated to a near
+    cross-product — a hot shingle like "the" linked every doc)."""
     from polars_genson_spark.operators.dedup import ngram_jaccard_pairs
 
     d = (
@@ -308,7 +314,7 @@ def q_word_jaccard_pairs(spark, sf_dir):
         .where(F.col("doc_id") < 300)
         .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     )
-    out = ngram_jaccard_pairs(d, n=1, min_jaccard=0.2)
+    out = ngram_jaccard_pairs(d, n=3, min_jaccard=0.5, df_max=5)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -532,6 +538,11 @@ def q_simhash_fingerprints(spark, sf_dir):
 
 
 def q_corpus_verdicts(spark, sf_dir):
+    """Full validation verdicts, projected to the SQL-derivable columns:
+    counts/min/max/avg come straight from the corpus, the violation
+    counters from the check definitions. approx_distinct (HLL) and
+    passed/drifted (chi² over engine-hashed token ids) stay out of the
+    hash — they are covered by hll_uniqueness (rows-only) and pytest."""
     from polars_genson_spark.config import ValidationConfig
     from polars_genson_spark.operators.verdicts import validate_corpus
 
@@ -543,7 +554,15 @@ def q_corpus_verdicts(spark, sf_dir):
         corpus, allowed, ValidationConfig(token_hist_bucket=16)
     )
     return report.verdicts.select(
-        "source", "n_rows", "consistency_violations", "passed"
+        "source",
+        "n_rows",
+        "null_tokens",
+        "min_n_tok",
+        "max_n_tok",
+        F.col("avg_n_tok").cast("decimal(18,4)").alias("avg_n_tok"),
+        "consistency_violations",
+        "referential_violations",
+        "duplicate_rows",
     )
 
 
@@ -612,7 +631,8 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
                    min(n_chars) AS min_n_chars,
                    max(n_chars) AS max_n_chars,
-                   round(avg(n_chars), 4) AS avg_n_chars
+                   CAST(round(avg(n_chars), 4) AS DECIMAL(18,4))
+                       AS avg_n_chars
             FROM documents GROUP BY source
         """,
         "hist_n_chars": """
@@ -710,7 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": """
             SELECT event_type,
                    count(*) AS n_events,
-                   round(avg(value), 4) AS avg_value,
+                   CAST(round(avg(value), 4) AS DECIMAL(18,4)) AS avg_value,
                    sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                        AS sum_k
             FROM events GROUP BY event_type
@@ -749,28 +769,48 @@ def oracle_sql() -> dict[str, str]:
         "word_jaccard_pairs": """
             WITH w AS (
                 SELECT doc_id,
-                       list_distinct(string_split_regex(trim(
-                           regexp_replace(lower(text), '\\s+', ' ', 'g')),
-                           ' ')) AS words
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS norm,
+                       string_split_regex(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS words
                 FROM documents WHERE doc_id < 300
             ),
-            inv AS (
-                SELECT doc_id, len(words) AS n_w, unnest(words) AS word
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3
+                            THEN list_distinct(
+                                [array_to_string(words[i:i+2], ' ')
+                                 FOR i IN generate_series(1, len(words) - 2)])
+                            ELSE [norm] END AS shingles
                 FROM w
+            ),
+            inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            hot AS (
+                SELECT shingle FROM inv0 GROUP BY shingle
+                HAVING count(*) >= 5
+            ),
+            kept AS (
+                SELECT * FROM inv0
+                WHERE shingle NOT IN (SELECT shingle FROM hot)
+            ),
+            nk AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+            inv AS (
+                SELECT k.doc_id, nk.n_sh, k.shingle
+                FROM kept k JOIN nk USING (doc_id)
             ),
             pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       a.n_w AS n_a, b.n_w AS n_b,
+                       a.n_sh AS n_a, b.n_sh AS n_b,
                        count(*) AS n_common
                 FROM inv a JOIN inv b
-                  ON a.word = b.word AND a.doc_id < b.doc_id
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2, 3, 4
             )
             SELECT id_a, id_b,
                    round(round(n_common * 1.0 / (n_a + n_b - n_common), 6), 4)
                        AS jaccard
             FROM pairs
-            WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 6) >= 0.2
+            WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 6) >= 0.5
         """,
         "embedding_topk": """
             WITH pairs AS (
@@ -937,6 +977,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(32, n - chunk_id * 32) AS INT)
                        AS n_chunk_tokens
             FROM c
+        """,
+        # corpus_verdicts: n_tok is the whitespace word count of text (the
+        # corpus_view derivation), so every SQL-derivable verdict column is
+        # reproducible from `documents`. referential is 0 by construction
+        # (allowed = distinct sources of the same table).
+        "corpus_verdicts": """
+            WITH c AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                       CASE WHEN text IS NULL THEN NULL
+                            ELSE len(string_split_regex(trim(regexp_replace(
+                                lower(text), '\\s+', ' ', 'g')), ' '))
+                       END AS n_tok
+                FROM documents
+            ),
+            dups AS (
+                SELECT doc_id FROM c GROUP BY doc_id HAVING count(*) > 1
+            )
+            SELECT source,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)
+                       AS null_tokens,
+                   min(n_tok) AS min_n_tok,
+                   max(n_tok) AS max_n_tok,
+                   CAST(round(avg(n_tok), 4) AS DECIMAL(18,4)) AS avg_n_tok,
+                   sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)
+                       AS consistency_violations,
+                   0 AS referential_violations,
+                   sum(CASE WHEN doc_id IN (SELECT doc_id FROM dups)
+                       THEN 1 ELSE 0 END) AS duplicate_rows
+            FROM c GROUP BY source
         """,
         "dedup_survivors": """
             SELECT doc_id FROM (

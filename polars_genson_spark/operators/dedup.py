@@ -339,6 +339,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.8,
+    df_max: int | None = None,
     cache_entries: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over distinct word n-grams via an inverted index:
@@ -347,11 +348,35 @@ def ngram_jaccard_pairs(
     Exact but quadratic in bucket collisions — the verification stage
     after LSH candidate generation, or standalone at moderate scale.
     ``cache_entries`` persists the inverted index so shingling runs once.
+
+    ``df_max`` drops shingles whose document frequency is >= df_max from
+    BOTH the index and the Jaccard denominator (Jaccard over the
+    discriminative shingles only). Without it, one hot shingle ("the" at
+    n=1) turns the self-join into a near cross-product at scale — a
+    posting list of length L contributes L² candidate pairs, so the cap
+    bounds the worst shingle's contribution to df_max².
     """
     sh = with_shingles(df, text_col, n).select(
         F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"), "shingles"
     )
     inv = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    if df_max is not None:
+        # hot-shingle list is tiny (only shingles with df >= cap) → the
+        # anti-join broadcasts; the denominator is recomputed over the
+        # retained shingles so the Jaccard stays exact for that set
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") >= df_max)
+            .select("shingle")
+        )
+        kept = inv.join(F.broadcast(hot), "shingle", "left_anti")
+        n_kept = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh2"))
+        inv = (
+            kept.drop("n_sh")
+            .join(n_kept, "id")
+            .select("id", F.col("n_sh2").alias("n_sh"), "shingle")
+        )
     if cache_entries:
         inv = inv.persist()
     a, b = inv.alias("a"), inv.alias("b")

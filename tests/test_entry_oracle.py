@@ -4,6 +4,7 @@ column names, and order-insensitive value hash."""
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
 import sys
@@ -34,16 +35,22 @@ def ddb():
 
 
 def _canon(v):
+    # strict on purpose: floats canonicalise via repr (no re-rounding) so
+    # a 1-ULP Spark-vs-DuckDB divergence fails HERE, not only at the
+    # driver's hash gate (round-1 lesson: a 9-dp re-round masked exactly
+    # the stats_documents/events_json failures)
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, int):
         return str(v)
     return str(v)
