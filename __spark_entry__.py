@@ -499,10 +499,19 @@ def q_embedding_near_dupes(spark, sf_dir):
 
 
 def q_embedding_topk_ivf(spark, sf_dir):
-    from polars_genson_spark.operators.similarity import ivf_topk
+    """IVF with a FIXED deterministic coarse quantizer (pseudo-random
+    centroids from the shared `_hyperplanes` generator) so DuckDB can
+    replicate assignment + probing exactly. The KMeans-trained quantizer
+    (`train_ivf_centroids`) is pytest-covered; at 100 TB you'd train it
+    once on a sample and broadcast — the plan shape here is identical."""
+    from polars_genson_spark.operators.similarity import (
+        _hyperplanes,
+        ivf_topk,
+    )
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return ivf_topk(e, dim=64, k=1, n_centroids=8, n_probe=2, seed=7)
+    cents = _hyperplanes(64, 8, seed=7)
+    return ivf_topk(e, dim=64, k=1, n_probe=2, centroids=cents)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -570,6 +579,154 @@ def q_hll_uniqueness(spark, sf_dir):
     from polars_genson_spark.operators.checks import uniqueness_summary
 
     return uniqueness_summary(corpus_view(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ANN oracle-SQL builders: the LSH hyperplanes / IVF centroids are
+# deterministic pure-Python literals (similarity._hyperplanes), so the
+# DuckDB oracle embeds the SAME constants and replicates bucketing,
+# candidate generation, and cosine ranking exactly — a full value-hash
+# oracle for the approximate paths, not just a recall bound.
+# ---------------------------------------------------------------------------
+
+
+def _plane_values(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    from polars_genson_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, pl in enumerate(_hyperplanes(dim, n_planes, seed + 101 * t)):
+            lit = "[" + ",".join(repr(x) for x in pl) + "]"
+            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+_NORMED_CTE = """
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < {n_vec}
+    ),
+    n AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        FROM e
+    )
+"""
+
+
+def _lsh_candidates_cte(n_planes: int, n_tables: int, seed: int) -> str:
+    """sig + cand CTE bodies shared by the two LSH oracles. The bucket
+    bit is sign(v·plane) — scale-invariant, so the oracle computes it on
+    the raw double vector (Spark uses the normalized one)."""
+    values = _plane_values(64, n_planes, n_tables, seed)
+    return f"""
+    pl(tbl, p, plane) AS (VALUES {values}),
+    sig AS (
+        SELECT e.vec_id, pl.tbl,
+               sum(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                   THEN 1 << pl.p ELSE 0 END) AS bucket
+        FROM e CROSS JOIN pl GROUP BY 1, 2
+    )
+"""
+
+
+def _lsh_topk_sql(n_vec: int, n_planes: int, n_tables: int, seed: int, k: int) -> str:
+    return f"""
+    WITH {_NORMED_CTE.format(n_vec=n_vec)},
+    {_lsh_candidates_cte(n_planes, n_tables, seed)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               round(list_dot_product(na.vn, nb.vn), 6) AS cosine
+        FROM cand c
+        JOIN n na ON na.vec_id = c.id_a
+        JOIN n nb ON nb.vec_id = c.id_b
+    ),
+    ranked AS (
+        SELECT id_a, id_b, cosine,
+               row_number() OVER (
+                   PARTITION BY id_a ORDER BY cosine DESC, id_b
+               ) AS rank
+        FROM scored
+    )
+    SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _near_dupes_sql(
+    n_vec: int, n_planes: int, n_tables: int, seed: int, threshold: float
+) -> str:
+    return f"""
+    WITH {_NORMED_CTE.format(n_vec=n_vec)},
+    {_lsh_candidates_cte(n_planes, n_tables, seed)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sig a JOIN sig b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               round(list_dot_product(na.vn, nb.vn), 6) AS cosine
+        FROM cand c
+        JOIN n na ON na.vec_id = c.id_a
+        JOIN n nb ON nb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+def _ivf_topk_sql(n_vec: int, n_centroids: int, n_probe: int, seed: int, k: int) -> str:
+    from polars_genson_spark.operators.similarity import _hyperplanes
+
+    cents = _hyperplanes(64, n_centroids, seed)
+    values = ",\n".join(
+        f"({i}, [" + ",".join(repr(x) for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    # centroid rank order mirrors Spark's reverse(array_sort(struct)):
+    # score DESC, then idx DESC on exact ties
+    return f"""
+    WITH {_NORMED_CTE.format(n_vec=n_vec)},
+    c(idx, cv) AS (VALUES {values}),
+    scores AS (
+        SELECT n.vec_id, c.idx,
+               list_dot_product(n.vn, c.cv) AS score
+        FROM n CROSS JOIN c
+    ),
+    ranked_c AS (
+        SELECT vec_id, idx,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY score DESC, idx DESC
+               ) AS r
+        FROM scores
+    ),
+    members AS (SELECT vec_id, idx AS bucket FROM ranked_c WHERE r = 1),
+    probes AS (SELECT vec_id, idx AS bucket FROM ranked_c WHERE r <= {n_probe}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM probes a JOIN members b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+        SELECT c2.id_a, c2.id_b,
+               round(list_dot_product(na.vn, nb.vn), 6) AS cosine
+        FROM cand c2
+        JOIN n na ON na.vec_id = c2.id_a
+        JOIN n nb ON nb.vec_id = c2.id_b
+    ),
+    ranked AS (
+        SELECT id_a, id_b, cosine,
+               row_number() OVER (
+                   PARTITION BY id_a ORDER BY cosine DESC, id_b
+               ) AS rank
+        FROM scored
+    )
+    SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1017,9 +1174,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn = 1
         """,
-        # minhash_near_dupes / simhash_fingerprints / fingerprint_docs /
-        # embedding_topk_lsh / multimodal_features / corpus_verdicts /
-        # hll_uniqueness: intentionally no oracle (xxhash64/HLL/LSH
-        # internals and synthetic media are engine-specific) → driver
-        # records rows-only checks.
+        # ANN paths: full value-hash oracles — the hyperplane/centroid
+        # constants are deterministic Python literals shared with the
+        # Spark queries, so DuckDB replicates bucketing + ranking exactly
+        "embedding_topk_lsh": _lsh_topk_sql(
+            n_vec=200, n_planes=4, n_tables=8, seed=42, k=1
+        ),
+        "embedding_near_dupes": _near_dupes_sql(
+            n_vec=300, n_planes=6, n_tables=6, seed=42, threshold=0.3
+        ),
+        "embedding_topk_ivf": _ivf_topk_sql(
+            n_vec=200, n_centroids=8, n_probe=2, seed=7, k=1
+        ),
+        # multimodal: the verifiable contract is (id mapping, kind mapping,
+        # feature dimension); the feature VALUES are the honest stub
+        "multimodal_features": """
+            SELECT printf('m-%06d', i) AS media_id,
+                   ['image','audio','video'][CAST(i % 3 AS INT) + 1] AS kind,
+                   16 AS dim
+            FROM generate_series(0, 199) t(i)
+        """,
+        # Intentionally rows-only (no SQL oracle), one line each:
+        # minhash_near_dupes:   signatures are xxhash64-permutations — engine-specific
+        # simhash_fingerprints: 64-bit xxhash64 word hashes — engine-specific
+        # simhash_near_pairs:   pairs derive from the engine-specific simhash bits
+        # fingerprint_docs:     winnowing over xxhash64 shingle hashes — engine-specific
+        # hll_uniqueness:       HyperLogLog sketch internals — engine-specific
     }

@@ -17,8 +17,11 @@ from pyspark.sql import functions as F
 
 
 def _dot(a, b):
+    # cast BEFORE multiplying: float32*float32 rounds to float32 first,
+    # which both loses precision and diverges from any pure-double
+    # reference computation (e.g. the DuckDB oracles) by ~1e-8
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -27,7 +30,7 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
