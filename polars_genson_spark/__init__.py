@@ -11,6 +11,11 @@ Public API (mirrors the reference's entry points, SURVEY.md §2.9):
 """
 
 from .config import InferenceConfig, NormaliseConfig, ValidationConfig
+from .functions.dtypes import (
+    json_to_schema,
+    parse_dtype,
+    schema_to_json,
+)
 from .operators.infer import (
     InferenceResult,
     SchemaInferenceError,
@@ -41,6 +46,9 @@ __all__ = [
     "normalise_from_parquet",
     "read_parquet_metadata",
     "get_spark",
+    "schema_to_json",
+    "json_to_schema",
+    "parse_dtype",
 ]
 
 __version__ = "0.1.0"

@@ -60,6 +60,19 @@ def _json_type_to_spark(schema: Json, kv_encoding: bool) -> T.DataType:
         return T.NullType()
     if t == "array":
         items = schema.get("items", {"type": "string"})
+        if isinstance(items, list):
+            # tuple-style positional items (reference TupleStrategy,
+            # genson_rs/strategy/array.rs:153-237). Spark arrays are
+            # homogeneous: identical positions collapse to that type,
+            # mixed positions fall back to string elements — the same
+            # degradation the reference bridge applies
+            # (deserialise.rs:78-86 returns List[String] for tuple items).
+            if not items:
+                return T.ArrayType(T.StringType())
+            elem_types = [_json_type_to_spark(s, kv_encoding) for s in items]
+            if all(et == elem_types[0] for et in elem_types[1:]):
+                return T.ArrayType(elem_types[0])
+            return T.ArrayType(T.StringType())
         return T.ArrayType(_json_type_to_spark(items, kv_encoding))
     if t == "object":
         ap = schema.get("additionalProperties")

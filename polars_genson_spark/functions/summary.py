@@ -90,6 +90,36 @@ def observe(node: dict[str, Any], value: Any) -> dict[str, Any]:
     return node
 
 
+def summary_key(node: dict[str, Any]) -> str:
+    """Canonical dedup key for A6 duplicate-summary elimination (reference
+    schema.rs:429-432 hashes the SCHEMA with xxh64 before add_schema).
+
+    ``count`` is stripped structurally (only at object-state level, never
+    from user property names) because it does not influence ``to_schema``
+    — two partitions that observed the same shapes but different row
+    counts produce the same schema and must dedup together."""
+
+    def strip(n: dict[str, Any]) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        for kind, st in n.items():
+            if kind == "object":
+                out["object"] = {
+                    "props": {k: strip(v) for k, v in st["props"].items()},
+                    "required": st["required"],
+                }
+            elif kind == "array":
+                out["array"] = {
+                    "items": strip(st["items"]) if st["items"] else None
+                }
+            else:
+                out[kind] = st
+        return out
+
+    import json as _json
+
+    return _json.dumps(strip(node), sort_keys=True)
+
+
 def merge(a: dict[str, Any], b: dict[str, Any]) -> dict[str, Any]:
     """Merge summary ``b`` into ``a`` (mutating ``a``). Associative."""
     for kind, bs in b.items():

@@ -89,15 +89,32 @@ def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
-def _bloom_positions(value: str, m_bits: int, k: int):
-    """k deterministic positions via blake2b double hashing (h1 + i*h2)."""
-    import hashlib
+def _bloom_positions_batch(values, m_bits: int, k: int):
+    """(n, k) position matrix via double hashing, fully array-wise.
 
-    d = hashlib.blake2b(str(value).encode("utf-8"), digest_size=16).digest()
-    h1 = int.from_bytes(d[:8], "little")
-    h2 = int.from_bytes(d[8:], "little") | 1
-    for i in range(k):
-        yield (h1 + i * h2) % m_bits
+    h1/h2 come from pandas' C-vectorized 64-bit hash (SipHash over the
+    string bytes, deterministic under a fixed 16-byte key — no Python
+    per-value loop at all), then ``(h1 + i*h2) mod 2^64 mod m_bits``
+    broadcasts over i in numpy. A batch of B values costs two vectorized
+    hash passes plus O(B·k) arithmetic instead of B·k Python iterations
+    with a hashlib call per value (the round-1 shape)."""
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(values, dtype="object").astype(str)
+    h1 = pd.util.hash_pandas_object(
+        s, index=False, hash_key="spark-graft-h1!!"
+    ).to_numpy(dtype=np.uint64)
+    # h2 from a splitmix64-style remix of h1 (vectorized) — one hash pass
+    # instead of two; |1 keeps the stride odd so all k probes are distinct
+    h2 = (h1 ^ (h1 >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h2 = (h2 ^ (h2 >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = (h2 ^ (h2 >> np.uint64(31))) | np.uint64(1)
+    idx = np.arange(k, dtype=np.uint64)[None, :]
+    # uint64 arithmetic wraps silently — that wraparound IS the definition
+    # of the double-hash family here (build and probe share it)
+    pos = (h1[:, None] + idx * h2[:, None]) % np.uint64(m_bits)
+    return pos.astype(np.int64)
 
 
 def build_bloom_filter(
@@ -123,11 +140,12 @@ def build_bloom_filter(
     def partial(batches):
         bitmap = np.zeros(words, dtype=np.uint64)
         for pdf in batches:
-            for v in pdf[column]:
-                if v is None:
-                    continue
-                for pos in _bloom_positions(v, m_bits, k):
-                    bitmap[pos >> 6] |= np.uint64(1 << (pos & 63))
+            vals = pdf[column].dropna()
+            if not len(vals):
+                continue
+            pos = _bloom_positions_batch(vals.tolist(), m_bits, k)
+            bits = np.left_shift(np.uint64(1), (pos & 63).astype(np.uint64))
+            np.bitwise_or.at(bitmap, pos >> 6, bits)
         yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
     parts = (
@@ -165,16 +183,13 @@ def bloom_prefilter(
         b = bc.value
         bitmap = np.frombuffer(b["bitmap"], dtype=np.uint64)
         m_bits, k = b["m_bits"], b["k"]
-
-        def check(v):
-            if v is None:
-                return False
-            return all(
-                bitmap[pos >> 6] & np.uint64(1 << (pos & 63))
-                for pos in _bloom_positions(v, m_bits, k)
-            )
-
-        return s.map(check)
+        out = np.zeros(len(s), dtype=bool)
+        nn = s.notna().to_numpy()
+        if nn.any():
+            pos = _bloom_positions_batch(s[nn].tolist(), m_bits, k)
+            bits = np.left_shift(np.uint64(1), (pos & 63).astype(np.uint64))
+            out[nn] = ((bitmap[pos >> 6] & bits) != 0).all(axis=1)
+        return pd.Series(out)
 
     return df.where(~might_contain(F.col(column)))
 

@@ -131,11 +131,24 @@ def _observe_cell(
             and isinstance(doc, list)
         ):
             # top-level array = stream of objects
-            # (/root/reference/genson-core/src/genson_rs/mod.rs:44-72)
+            # (/root/reference/genson-core/src/genson_rs/mod.rs:44-72);
+            # each element is byte-trimmed to the outermost {...}/[...]
+            # before parsing (trim_to_object, mod.rs:129-144), so scalar
+            # elements trim to empty and are skipped
             for element in doc:
-                S.observe(node, element)
-        else:
+                if isinstance(element, (dict, list)):
+                    S.observe(node, element)
+        elif isinstance(doc, list):
+            # non-ignored top-level array: the reference still builds the
+            # items schema from the trim-to-object element stream, so
+            # scalar elements are dropped before observation
+            S.observe(node, [e for e in doc if isinstance(e, (dict, list))])
+        elif isinstance(doc, dict):
             S.observe(node, doc)
+        # else: top-level scalar — genson's trim_to_object finds no '{' or
+        # '[' , yields an empty slice, and the builder skips the doc
+        # (mod.rs:110-115,129-144). The cell still counts as processed,
+        # exactly like the reference's processed_count (schema.rs:258-275).
     return True
 
 
@@ -203,10 +216,15 @@ def partition_summaries(
             node = S.new_summary()
             processed = 0
             error: str | None = None
+            seen: set[str] = set()  # A6: merge each distinct summary once
             for _, row in pdf.iterrows():
                 if error is None and row["error"]:
                     error = row["error"]
-                S.merge(node, json.loads(row["summary"]))
+                parsed = json.loads(row["summary"])
+                key = S.summary_key(parsed)
+                if key not in seen:
+                    seen.add(key)
+                    S.merge(node, parsed)
                 processed += int(row["processed"])
             return pd.DataFrame(
                 {
@@ -259,7 +277,19 @@ def infer_json_schema(
         raise SchemaInferenceError("No JSON documents found to process")
 
     node = S.new_summary()
+    # A6 duplicate-summary dedup (reference schema.rs:429-432 hashes each
+    # schema with xxh64 and adds it once): on a homogeneous corpus most
+    # per-partition summaries are structurally identical, and S.merge is
+    # idempotent on identical structures, so each distinct summary merges
+    # exactly once — in first-seen pid order, preserving determinism. We
+    # key on the canonical count-stripped JSON string instead of a 64-bit
+    # hash: same dedup, zero collision risk, KB-sized strings driver-side.
+    seen: set[str] = set()
     for p in parts:  # partition-id order ⇒ deterministic insertion order
+        key = S.summary_key(p["summary"])
+        if key in seen:
+            continue
+        seen.add(key)
         S.merge(node, p["summary"])
 
     schema = S.to_schema(node)

@@ -126,7 +126,8 @@ def write_corpus(
 ) -> None:
     """Materialise the corpus as parquet, partitioned by source (the
     parquet stand-in for an Iceberg identity-partitioned table; SURVEY.md
-    §7.3 item 6 — the Iceberg branch is config-selected when jars exist)."""
+    §7.3 item 6 — ``sources/catalog.py`` holds the real Iceberg
+    branch/snapshot code path behind a capability probe)."""
     df = generate_corpus(spark, n_rows, seed)
     writer = df.write.mode("overwrite")
     if partition_by_source:

@@ -112,6 +112,13 @@ def normalise_from_parquet(
     return res
 
 
+def write_sidecar_metadata(path: str, meta: dict[str, str]) -> None:
+    """Stamp KV metadata on a Spark-written parquet directory via the
+    sidecar file that :func:`read_parquet_metadata` understands."""
+    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
+        json.dump({str(k): str(v) for k, v in meta.items()}, f, indent=2)
+
+
 def read_parquet_metadata(path: str) -> dict[str, str]:
     """Return user KV metadata stamped on ``path`` (reference
     parquet.rs:190-199): parquet footer for a single file, sidecar for a

