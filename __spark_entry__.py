@@ -463,6 +463,110 @@ def q_dedup_survivors(spark, sf_dir):
     return drop_exact_duplicates(d).select("doc_id")
 
 
+# --- round-2 widening: relational / curation operators ---------------------
+
+
+def q_asof_purchase_view(spark, sf_dir):
+    """Backward as-of join (union+window plan, no range join): each
+    purchase matched to the user's latest view at-or-before it."""
+    from polars_genson_spark.operators.relational import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id").alias("view_id")
+    )
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["view_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.date_format("asof_ts", fmt).alias("view_ts"),
+        F.col("asof_view_id").alias("view_id"),
+    )
+
+
+def q_sessions_30m(spark, sf_dir):
+    from polars_genson_spark.operators.relational import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    out = sessionize(e, gap="INTERVAL 30 MINUTES")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+    )
+
+
+def q_top_words_source(spark, sf_dir):
+    from polars_genson_spark.operators.text import top_words
+
+    return top_words(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_quantiles_nchars(spark, sf_dir):
+    from polars_genson_spark.operators.relational import grouped_quantiles
+
+    return grouped_quantiles(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        "n_chars",
+        [0.25, 0.5, 0.75, 0.9],
+    )
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Connected components over the exact trigram-jaccard pair set —
+    the survivor-selection step after candidate generation."""
+    from polars_genson_spark.operators.dedup import (
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    pairs = ngram_jaccard_pairs(d, n=3, min_jaccard=0.5, df_max=5)
+    return near_dup_clusters(pairs)
+
+
+def q_decontaminate_trigram(spark, sf_dir):
+    """Benchmark-overlap decontamination: docs sharing >= 3 distinct
+    trigrams with the (deterministic) benchmark slice doc_id % 29 == 0."""
+    from polars_genson_spark.operators.decontaminate import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 29 == 0)
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    return contaminated_docs(corpus, benchmark, n=3, min_shared=3)
+
+
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-source systematic sample (mod method for oracle
+    parity; the hash method is the scale default, pytest-covered)."""
+    from polars_genson_spark.operators.sample import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        rates={"src0": (1, 2), "src1": (1, 10)},
+        default_rate=(1, 5),
+        method="mod",
+    )
+    return out.select("doc_id", "source")
+
+
 # --- rows-only (hash-dependent; no SQL oracle) -----------------------------
 
 
@@ -760,6 +864,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
+        # relational / curation widening (round 2)
+        "asof_purchase_view": q_asof_purchase_view,
+        "sessions_30m": q_sessions_30m,
+        "top_words_source": q_top_words_source,
+        "quantiles_nchars": q_quantiles_nchars,
+        "near_dup_clusters": q_near_dup_clusters,
+        "decontaminate_trigram": q_decontaminate_trigram,
+        "stratified_sample_docs": q_stratified_sample_docs,
         # genson heritage (schema inference / normalisation)
         "schema_infer_events_props": q_schema_infer_events_props,
         "per_row_schema_events": q_per_row_schema_events,
@@ -1173,6 +1285,185 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn = 1
+        """,
+        # round-2 widening: relational / curation operators
+        "asof_purchase_view": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            v0 AS (
+                SELECT user_id, ts, event_id AS view_id FROM events
+                WHERE event_type = 'view'
+            ),
+            -- dedup equal-ts views to max id: the deterministic tie-break
+            -- the Spark union+window plan applies
+            v AS (
+                SELECT user_id, ts, max(view_id) AS view_id
+                FROM v0 GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+                   v.view_id
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "sessions_30m": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts > lag(ts) OVER w
+                                    + INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_start
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(is_start) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM o
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_end
+            FROM s GROUP BY 1, 2
+        """,
+        "top_words_source": """
+            WITH w AS (
+                SELECT source,
+                       unnest(list_distinct(string_split_regex(trim(
+                           regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                           ' '))) AS word
+                FROM documents
+            ),
+            c AS (
+                SELECT source, word, count(*) AS df FROM w
+                WHERE word <> '' GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT source, word, df,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY df DESC, word
+                       ) AS rank
+                FROM c
+            )
+            SELECT source, rank, word, df FROM r WHERE rank <= 5
+        """,
+        "quantiles_nchars": """
+            SELECT source,
+                   CAST(round(quantile_cont(n_chars, 0.25), 4)
+                       AS DECIMAL(18,4)) AS q0_25,
+                   CAST(round(quantile_cont(n_chars, 0.5), 4)
+                       AS DECIMAL(18,4)) AS q0_5,
+                   CAST(round(quantile_cont(n_chars, 0.75), 4)
+                       AS DECIMAL(18,4)) AS q0_75,
+                   CAST(round(quantile_cont(n_chars, 0.9), 4)
+                       AS DECIMAL(18,4)) AS q0_9
+            FROM documents GROUP BY source
+        """,
+        # connected components over the SAME trigram-jaccard pair set the
+        # word_jaccard_pairs oracle defines; min-label via recursive CTE
+        "near_dup_clusters": """
+            WITH RECURSIVE w AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS norm,
+                       string_split_regex(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS words
+                FROM documents WHERE doc_id < 300
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3
+                            THEN list_distinct(
+                                [array_to_string(words[i:i+2], ' ')
+                                 FOR i IN generate_series(1, len(words) - 2)])
+                            ELSE [norm] END AS shingles
+                FROM w
+            ),
+            inv0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            hot AS (
+                SELECT shingle FROM inv0 GROUP BY shingle
+                HAVING count(*) >= 5
+            ),
+            kept AS (
+                SELECT * FROM inv0
+                WHERE shingle NOT IN (SELECT shingle FROM hot)
+            ),
+            nk AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+            inv AS (
+                SELECT k.doc_id, nk.n_sh, k.shingle
+                FROM kept k JOIN nk USING (doc_id)
+            ),
+            prs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.n_sh AS n_a, b.n_sh AS n_b,
+                       count(*) AS n_common
+                FROM inv a JOIN inv b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            ),
+            p2 AS (
+                SELECT id_a, id_b FROM prs
+                WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 6)
+                      >= 0.5
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM p2
+                UNION
+                SELECT id_b, id_a FROM p2
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            walk(id, comp) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.dst, wk.comp
+                FROM walk wk JOIN edges e ON e.src = wk.id
+            )
+            SELECT id AS doc_id, min(comp) AS cluster_id
+            FROM walk GROUP BY id
+        """,
+        "decontaminate_trigram": """
+            WITH w AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS norm,
+                       string_split_regex(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3
+                            THEN list_distinct(
+                                [array_to_string(words[i:i+2], ' ')
+                                 FOR i IN generate_series(1, len(words) - 2)])
+                            ELSE [norm] END AS shingles
+                FROM w
+            ),
+            bench AS (
+                SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+                WHERE doc_id % 29 = 0
+            ),
+            corpus AS (
+                SELECT doc_id, unnest(shingles) AS shingle FROM sh
+                WHERE doc_id % 29 <> 0
+            )
+            SELECT doc_id, count(*) AS n_shared
+            FROM corpus WHERE shingle IN (SELECT shingle FROM bench)
+            GROUP BY doc_id HAVING count(*) >= 3
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, source FROM documents
+            WHERE (source = 'src0' AND doc_id % 2 < 1)
+               OR (source = 'src1' AND doc_id % 10 < 1)
+               OR (source NOT IN ('src0', 'src1') AND doc_id % 5 < 1)
         """,
         # ANN paths: full value-hash oracles — the hyperplane/centroid
         # constants are deterministic Python literals shared with the

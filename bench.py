@@ -61,6 +61,13 @@ def main() -> None:
         "schema_infer_events_props",
         "normalise_decode_events",
         "corpus_verdicts",
+        # round-2 relational/curation widening
+        "asof_purchase_view",
+        "sessions_30m",
+        "top_words_source",
+        "near_dup_clusters",
+        "decontaminate_trigram",
+        "stratified_sample_docs",
     ]
 
     for name in headline:

@@ -1,0 +1,62 @@
+"""Benchmark decontamination: flag training documents that share n-gram
+shingles with an evaluation/benchmark set.
+
+The standard pre-training hygiene step (the reference engine has no
+equivalent; semantics follow the usual n-gram-overlap definition used by
+open-data pipelines): a candidate document is contaminated when it shares
+at least ``min_shared`` distinct word n-grams with ANY benchmark document.
+
+Scale shape: the benchmark set is small (thousands of eval docs) — its
+distinct shingle set is broadcast, so the corpus-side plan is a single
+scan + explode + broadcast semi-join + groupBy(doc). Nothing shuffles at
+corpus scale except the (doc_id, n_shared) rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import with_shingles
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(doc_id, n_shared) for corpus docs sharing >= min_shared distinct
+    word n-grams with the benchmark set."""
+    bench_shingles = (
+        with_shingles(benchmark, text_col, n)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus_shingles = with_shingles(corpus, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    hits = corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Corpus minus contaminated docs (broadcast-friendly left anti-join
+    on the contaminated id set, which is violation-rate-sized)."""
+    bad = contaminated_docs(
+        corpus, benchmark, id_col, text_col, n, min_shared
+    ).select(id_col)
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")

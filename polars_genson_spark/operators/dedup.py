@@ -402,3 +402,68 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair set: every doc that
+    appears in a pair gets the component label min(reachable doc_id).
+    The survivor-selection step of a dedup pipeline — keep label == id.
+
+    Iterative min-label propagation (the simplified large-star/small-star
+    BSP shape): each round joins the current labels across the edge set
+    and takes the min neighbour label; rounds needed = graph diameter
+    (near-dup clusters are tiny, so 2-3 in practice; hard cap
+    ``max_iterations``). Each round is one shuffle on id; label state is
+    (id, label) only — no adjacency materialisation beyond the input
+    edges, so it scales to billions of edges. Converged when no label
+    changed (checked on the KB-sized changed-count aggregate).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, labels.id == neighbour_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        ).persist()
+        changed = new_labels.where(F.col("_changed")).limit(1).count()
+        old = labels
+        labels = new_labels.select("id", "label").persist()
+        old.unpersist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,144 @@
+"""Relational operators Spark lacks as built-ins: as-of join,
+gap-based sessionization, grouped exact quantiles.
+
+All three are expressed as window/aggregate plans (no Python on the row
+path, no range-join explosion) so Catalyst keeps them in whole-stage
+codegen and the shuffle keys are the natural partition keys (`on`,
+`user`, `group`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row of the
+    same ``on`` key with ``right_ts <= left_ts``.
+
+    Implemented with the union+window trick, NOT a range join: tag both
+    sides, union them, and carry the last-seen right payload forward with
+    ``last(..., ignorenulls=True)`` over (on, ts). One shuffle on the key,
+    window cost O(n log n) per key — no |L|×|R| candidate explosion, so it
+    survives 100 TB where an inequality join would not. Right-side ts ties
+    resolve to the row that sorts LAST by the payload struct (deterministic:
+    the struct starts with right_ts and the caller's payload columns).
+
+    ``tolerance`` (e.g. ``"INTERVAL 1 HOUR"``): matches older than
+    ``left_ts - tolerance`` are nulled out, like pandas merge_asof.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+    payload = F.struct(
+        F.col(right_ts).alias("_ats"),
+        *[F.col(c) for c in right_payload],
+    )
+    r = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        payload.alias("_payload"),
+    )
+    l = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(0)
+    ).withColumn("_payload", F.lit(None).cast(r.schema["_payload"].dataType))
+
+    unioned = l.unionByName(
+        r.select(*[F.lit(None).cast(l.schema[c].dataType).alias(c)
+                   for c in left.columns if c not in (on,)],
+                 on, "_ts", "_side", "_payload"),
+        allowMissingColumns=False,
+    )
+    # right rows sort BEFORE left rows at equal ts (_side 1 first via desc)
+    # so an exact-ts quote is visible to the same-ts trade
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = matched.where(F.col("_side") == 0)
+    if tolerance is not None:
+        out = out.withColumn(
+            "_match",
+            F.when(
+                F.col("_match._ats")
+                >= F.col("_ts") - F.expr(tolerance),
+                F.col("_match"),
+            ),
+        )
+    cols = [c for c in left.columns]
+    return out.select(
+        *cols,
+        F.col("_match._ats").alias("asof_ts"),
+        *[F.col(f"_match.{c}").alias(f"asof_{c}") for c in right_payload],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "INTERVAL 30 MINUTES",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    user's previous event exceeds ``gap``. Returns one row per session:
+    (user, session_id, n_events, session_start, session_end).
+
+    Two windows over the same (user, ts) sort — one shuffle total; the
+    session id is the running count of session starts (deterministic,
+    dense from 1 per user).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    is_start = (
+        prev.isNull() | (F.col(ts_col) > prev + F.expr(gap))
+    ).cast("long")
+    with_sessions = df.withColumn("_start", is_start).withColumn(
+        "session_id",
+        F.sum("_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sessions.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+) -> DataFrame:
+    """Exact linear-interpolation quantiles per group (Spark ``percentile``
+    == DuckDB/Postgres ``quantile_cont`` semantics). Exact percentile
+    holds the group's values — use for bounded-cardinality groups; the
+    approx_percentile sketch is the scale path when groups are huge and a
+    rank error is acceptable."""
+    qs = ", ".join(repr(float(q)) for q in quantiles)
+    agg = F.expr(f"percentile({value_col}, array({qs}))")
+    out = df.groupBy(group_col).agg(agg.alias("_qs"))
+    return out.select(
+        group_col,
+        *[
+            F.round(F.col("_qs")[i], 4)
+            .cast("decimal(18,4)")
+            .alias(f"q{str(q).replace('.', '_')}")
+            for i, q in enumerate(quantiles)
+        ],
+    )

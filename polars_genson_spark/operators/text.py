@@ -154,3 +154,33 @@ def chunk_tokens(
     return exploded.withColumn(
         "n_chunk_tokens", F.size("chunk_tokens")
     )
+
+
+def top_words(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary building: the top-k words per group by document
+    frequency (distinct docs containing the word), ties broken by word
+    ascending. explode(distinct words) → count → ranked window; the
+    shuffle carries (group, word) counts, the window runs on the rollup —
+    corpus-size-independent state per group."""
+    from pyspark.sql import Window
+
+    words = F.array_distinct(_words(text_col))
+    counts = (
+        df.select(F.col(group_col), F.explode(words).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("df").desc(), F.col("word")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "rank", "word", "df")
+    )

@@ -1,0 +1,180 @@
+"""Unit tests for the round-2 relational/curation operators: as-of join,
+sessionization, quantiles, near-dup clustering, decontamination,
+stratified sampling, vocabulary top-k."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_genson_spark.operators.dedup import near_dup_clusters
+from polars_genson_spark.operators.decontaminate import (
+    contaminated_docs,
+    decontaminate,
+)
+from polars_genson_spark.operators.relational import (
+    asof_join,
+    grouped_quantiles,
+    sessionize,
+)
+from polars_genson_spark.operators.sample import stratified_sample
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(minutes: float) -> datetime:
+    return T0 + timedelta(minutes=minutes)
+
+
+def test_asof_join_backward_and_tolerance(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(10)), (2, "A", _ts(30)), (3, "B", _ts(5)), (4, "C", _ts(1))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts(9), 100.0),
+            ("A", _ts(10), 101.0),   # exact-ts quote is visible
+            ("A", _ts(29), 102.0),
+            ("B", _ts(6), 50.0),     # after the only B trade → no match
+        ],
+        "sym string, ts timestamp, px double",
+    )
+    out = {
+        r["trade_id"]: (r["asof_px"], r["asof_ts"])
+        for r in asof_join(
+            trades, quotes, on="sym", right_payload=["px"]
+        ).collect()
+    }
+    assert out[1] == (101.0, _ts(10))   # exact ts wins over 9-min quote
+    assert out[2] == (102.0, _ts(29))
+    assert out[3] == (None, None)       # only future quotes
+    assert out[4] == (None, None)       # no quotes for key at all
+
+    # tolerance: the 29-min quote is too old for a 30-min trade at 30s tol
+    tol = {
+        r["trade_id"]: r["asof_px"]
+        for r in asof_join(
+            trades, quotes, on="sym", right_payload=["px"],
+            tolerance="INTERVAL 30 SECONDS",
+        ).collect()
+    }
+    assert tol[1] == 101.0
+    assert tol[2] is None
+
+
+def test_asof_join_equal_ts_tie_break(spark):
+    left = spark.createDataFrame(
+        [(1, "A", _ts(10))], "id long, sym string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("A", _ts(10), 7), ("A", _ts(10), 9)],
+        "sym string, ts timestamp, rid long",
+    )
+    row = asof_join(left, right, on="sym", right_payload=["rid"]).collect()[0]
+    assert row["asof_rid"] == 9  # max payload at equal ts, deterministic
+
+
+def test_sessionize_gap(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts(0)), (1, _ts(10)), (1, _ts(50)),  # gap 40m → 2 sessions
+            (2, _ts(0)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    rows = {
+        (r["user_id"], r["session_id"]): r.asDict()
+        for r in sessionize(events, gap="INTERVAL 30 MINUTES").collect()
+    }
+    assert rows[(1, 1)]["n_events"] == 2
+    assert rows[(1, 1)]["session_end"] == _ts(10)
+    assert rows[(1, 2)]["n_events"] == 1
+    assert rows[(2, 1)]["n_events"] == 1
+
+
+def test_grouped_quantiles_interpolation(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [("g", v) for v in (1, 2, 3, 10)], "grp string, v long"
+    )
+    row = grouped_quantiles(df, "grp", "v", [0.25, 0.5]).collect()[0]
+    assert row["q0_25"] == Decimal("1.7500")  # 1 + 0.75*(2-1)
+    assert row["q0_5"] == Decimal("2.5000")
+
+
+def test_near_dup_clusters_transitive(spark):
+    # chain a-b, b-c plus isolated pair d-e: {a,b,c} and {d,e}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_decontaminate_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a quick brown fox jumps over a fence"),  # shares 3-grams
+            (2, "completely different text with no overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id = 0")
+    corpus = docs.where("doc_id != 0")
+    bad = contaminated_docs(corpus, bench, n=3, min_shared=2).collect()
+    assert {r["doc_id"] for r in bad} == {1}
+    clean = decontaminate(corpus, bench, n=3, min_shared=2)
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i % 2 == 0 else "small") for i in range(10_000)],
+        "doc_id long, source string",
+    )
+    out = stratified_sample(
+        df, rates={"big": (1, 10)}, default_rate=(1, 2), method="hash"
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert 350 < counts["big"] < 650        # ~10% of 5000
+    assert 2200 < counts["small"] < 2800    # ~50% of 5000
+    # deterministic and partition-layout independent
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(13),
+            rates={"big": (1, 10)},
+            default_rate=(1, 2),
+            method="hash",
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="unknown method"):
+        stratified_sample(df, rates={}, method="bogus")
+
+
+def test_top_words(spark):
+    from polars_genson_spark.operators.text import top_words
+
+    docs = spark.createDataFrame(
+        [
+            ("s", "alpha beta gamma"),
+            ("s", "alpha beta"),
+            ("s", "alpha zeta"),
+        ],
+        "source string, text string",
+    )
+    rows = top_words(docs, k=2).collect()
+    got = [(r["rank"], r["word"], r["df"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == [(1, "alpha", 3), (2, "beta", 2)]
