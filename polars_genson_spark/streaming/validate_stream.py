@@ -198,3 +198,25 @@ def run_streaming_validation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_drop_duplicates(
+    stream: DataFrame,
+    event_time_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+    cfg: ValidationConfig | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per doc_id.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark horizon — the state store holds only ids seen within the
+    last ``watermark`` of event time, so the operator runs forever on an
+    unbounded stream (a plain dropDuplicates would grow state without
+    bound). Duplicates arriving later than the watermark pass through —
+    the batch dedup sweep (operators/dedup.py) is the backstop, which is
+    exactly the lambda-style split the 100 TB pipeline wants: cheap
+    in-stream dedup for the hot window, exact batch dedup at rest."""
+    cfg = cfg or ValidationConfig()
+    return stream.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark([cfg.doc_id_col])

@@ -199,3 +199,36 @@ def test_stream_windowed_stats_watermark(spark, tmp_path):
     # close under the watermark and emit
     assert len(rows) > 0
     assert sum(r["n_rows"] for r in rows) <= 1000
+
+
+def test_stream_drop_duplicates(spark, tmp_path):
+    """Watermark-bounded streaming dedup: duplicate doc_ids within the
+    watermark horizon collapse to the first arrival."""
+    from polars_genson_spark.streaming.validate_stream import (
+        read_corpus_stream,
+        stream_drop_duplicates,
+    )
+
+    in_dir = str(tmp_path / "dedup_in")
+    os.makedirs(in_dir, exist_ok=True)
+    corpus = generate_corpus(spark, 4000, seed=9)
+    # plant heavy duplication: union the corpus with itself
+    corpus.unionByName(corpus).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = read_corpus_stream(spark, in_dir).withColumn(
+        "ingest_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    deduped = stream_drop_duplicates(stream)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "select count(*) as n, count(distinct doc_id) as d from dedup_out"
+    ).collect()[0]
+    distinct_in = corpus.select("doc_id").distinct().count()
+    assert out["n"] == out["d"] == distinct_in
