@@ -302,6 +302,17 @@ def main(argv: list[str] | None = None) -> int:
     z = sub.add_parser("package", help="build the --py-files zip")
     z.add_argument("--output", default="polars_genson_spark.zip")
 
+    c = sub.add_parser(
+        "curate", help="end-to-end training-data curation pipeline"
+    )
+    c.add_argument("--input", required=True, help="documents parquet")
+    c.add_argument("--output", required=True, help="chunk table parquet")
+    c.add_argument("--benchmark", default=None,
+                   help="benchmark parquet for decontamination")
+    c.add_argument("--chunk-size", type=int, default=512)
+    c.add_argument("--min-jaccard", type=float, default=0.8)
+    c.add_argument("--no-near-dup", action="store_true")
+
     b = sub.add_parser("bench-one", help="one pinned throughput measurement")
     b.add_argument("--rows", type=int, required=True)
     b.add_argument("--cores", type=int, required=True)
@@ -331,6 +342,22 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.corpus import write_corpus
 
             write_corpus(spark, args.output, args.rows, args.seed)
+            return 0
+        if args.cmd == "curate":
+            from .pipeline import CurateConfig, curate
+
+            docs = spark.read.parquet(args.input)
+            benchmark = (
+                spark.read.parquet(args.benchmark) if args.benchmark else None
+            )
+            cfg = CurateConfig(
+                chunk_size=args.chunk_size,
+                min_jaccard=args.min_jaccard,
+                near_dup=not args.no_near_dup,
+            )
+            result = curate(docs, benchmark, cfg)
+            result.chunks.write.mode("overwrite").parquet(args.output)
+            print(json.dumps(result.summary()))
             return 0
         if args.cmd == "validate":
             corpus = spark.read.parquet(args.input)

@@ -448,6 +448,9 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # localCheckpoint truncates the per-round logical plan — with
+        # plain persist the plan tree grows linearly with iterations and
+        # stringifying it alone can OOM the driver on deep graphs
         new_labels = (
             labels.join(neighbour_min, labels.id == neighbour_min.src, "left")
             .select(
@@ -457,12 +460,12 @@ def near_dup_clusters(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-        ).persist()
+        ).localCheckpoint(eager=True)
         changed = new_labels.where(F.col("_changed")).limit(1).count()
         old = labels
-        labels = new_labels.select("id", "label").persist()
-        old.unpersist()
-        new_labels.unpersist()
+        labels = new_labels.select("id", "label")
+        if hasattr(old, "unpersist"):
+            old.unpersist()
         if changed == 0:
             break
     edges.unpersist()

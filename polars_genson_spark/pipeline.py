@@ -1,0 +1,191 @@
+"""End-to-end training-data curation pipeline: the composition of the
+pipeline operators into the shape a real pre-training data job runs.
+
+    raw docs → exact dedup → near-dup dedup (MinHash candidates →
+    exact-Jaccard verify → connected components, keep cluster min) →
+    benchmark decontamination → quality filter → stratified sample →
+    PII-style redaction → fixed-size token chunks
+
+Every stage is a DataFrame→DataFrame transform (lazy until the final
+write), so Catalyst fuses the cheap stages and the expensive ones
+(candidate joins) keep their audited plan shapes. Stage row counts are
+collected once at the end from a persisted frame per stage boundary —
+the counts are the curation report, not a side effect of extra scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    drop_exact_duplicates,
+    minhash_candidates,
+    near_dup_clusters,
+    ngram_jaccard_pairs,
+)
+from .operators.decontaminate import contaminated_docs
+from .operators.sample import stratified_sample
+from .operators.text import chunk_tokens, with_quality, with_redactions
+
+
+@dataclass
+class CurateConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    group_col: str = "source"
+    # near-dup stage
+    near_dup: bool = True
+    minhash_num_perm: int = 32
+    minhash_bands: int = 16
+    min_jaccard: float = 0.8
+    shingle_n: int = 3
+    jaccard_df_max: int | None = 1000
+    # quality gate
+    max_punct_ratio: float = 0.3
+    min_chars: int = 10
+    # sampling (None = keep everything)
+    sample_rates: dict[str, tuple[int, int]] | None = None
+    default_rate: tuple[int, int] = (1, 1)
+    # decontamination (benchmark DataFrame supplied at run time)
+    decontaminate_min_shared: int = 3
+    # chunking
+    chunk_size: int = 512
+    vocab_size: int = 50_257
+
+
+@dataclass
+class CurateResult:
+    chunks: DataFrame
+    stage_counts: dict[str, int] = field(default_factory=dict)
+
+    def summary(self) -> dict[str, Any]:
+        return dict(self.stage_counts)
+
+
+def _tokens_expr(text_col: str, vocab: int):
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+    )
+    return F.transform(
+        words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int")
+    )
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    cfg: CurateConfig | None = None,
+) -> CurateResult:
+    """Run the curation pipeline; returns the chunk table plus per-stage
+    surviving-row counts."""
+    cfg = cfg or CurateConfig()
+    counts: dict[str, int] = {}
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        # localCheckpoint at every counted stage boundary: materialises the
+        # stage once (no stage lineage ever executes twice) AND truncates
+        # the logical plan — chaining eight stages incl. the 32-agg MinHash
+        # and the iterative clustering otherwise grows a plan tree large
+        # enough to OOM the driver just STRINGIFYING it. At cluster scale
+        # swap for reliable checkpoints (spark.sparkContext.setCheckpointDir)
+        # if executor loss matters; the shape is identical.
+        df = df.localCheckpoint(eager=True)
+        counts[name] = df.count()
+        return df
+
+    cur = stage(docs, "input")
+
+    # 1. exact dedup (keep min id per identical text)
+    cur = stage(
+        drop_exact_duplicates(cur, cfg.text_col, cfg.id_col), "exact_dedup"
+    )
+
+    # 2. near-dup dedup: LSH candidates → exact-Jaccard verify →
+    #    connected components → drop everything but each cluster's min id
+    if cfg.near_dup:
+        cand = minhash_candidates(
+            cur,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            shingle_n=cfg.shingle_n,
+            num_perm=cfg.minhash_num_perm,
+            bands=cfg.minhash_bands,
+            min_jaccard=cfg.min_jaccard,
+        ).select("id_a", "id_b")
+        cand_docs = (
+            cand.select(F.col("id_a").alias(cfg.id_col))
+            .unionByName(cand.select(F.col("id_b").alias(cfg.id_col)))
+            .distinct()
+            .join(cur, cfg.id_col)
+        )
+        verified = ngram_jaccard_pairs(
+            cand_docs,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            n=cfg.shingle_n,
+            min_jaccard=cfg.min_jaccard,
+            df_max=cfg.jaccard_df_max,
+        )
+        clusters = near_dup_clusters(verified)
+        losers = clusters.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias(cfg.id_col))
+        cur = stage(
+            cur.join(F.broadcast(losers), cfg.id_col, "left_anti"),
+            "near_dedup",
+        )
+
+    # 3. benchmark decontamination
+    if benchmark is not None:
+        bad = contaminated_docs(
+            cur,
+            benchmark,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+            n=cfg.shingle_n,
+            min_shared=cfg.decontaminate_min_shared,
+        ).select(cfg.id_col)
+        cur = stage(
+            cur.join(F.broadcast(bad), cfg.id_col, "left_anti"),
+            "decontaminated",
+        )
+
+    # 4. quality gate (pure codegen filters)
+    q = with_quality(cur, cfg.text_col)
+    cur = stage(
+        q.where(
+            (F.col("punct_ratio") <= cfg.max_punct_ratio)
+            & (F.length(cfg.text_col) >= cfg.min_chars)
+        ).select(*docs.columns),
+        "quality",
+    )
+
+    # 5. stratified sampling
+    if cfg.sample_rates is not None:
+        cur = stage(
+            stratified_sample(
+                cur,
+                rates=cfg.sample_rates,
+                default_rate=cfg.default_rate,
+                group_col=cfg.group_col,
+                id_col=cfg.id_col,
+            ),
+            "sampled",
+        )
+
+    # 6. redaction + tokenize + chunk
+    red = with_redactions(cur, cfg.text_col)
+    tok = red.select(
+        F.col(cfg.id_col),
+        F.col(cfg.group_col),
+        _tokens_expr("text_redacted", cfg.vocab_size).alias("tokens"),
+    )
+    chunks = stage(
+        chunk_tokens(tok, cfg.chunk_size, id_col=cfg.id_col), "chunks"
+    )
+
+    return CurateResult(chunks=chunks, stage_counts=counts)

@@ -178,3 +178,66 @@ def test_top_words(spark):
     rows = top_words(docs, k=2).collect()
     got = [(r["rank"], r["word"], r["df"]) for r in sorted(rows, key=lambda r: r["rank"])]
     assert got == [(1, "alpha", 3), (2, "beta", 2)]
+
+
+def test_curate_pipeline_end_to_end(spark):
+    """Full curation composition on the documents table: every stage
+    monotonically shrinks the doc set, exact+near duplicates are gone,
+    and chunk sizes respect the cap."""
+    from polars_genson_spark.pipeline import CurateConfig, curate
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .where(F.col("doc_id") < 300)  # slice keeps ≥7 planted near-dup pairs
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    )
+    benchmark = docs.where("doc_id % 37 = 0").select("doc_id", "text", "source")
+    corpus = docs.where("doc_id % 37 != 0")
+    cfg = CurateConfig(
+        min_jaccard=0.8,
+        chunk_size=32,
+        sample_rates={"src0": (1, 2)},
+        default_rate=(1, 1),
+    )
+    res = curate(corpus, benchmark, cfg)
+    c = res.stage_counts
+    assert (
+        c["input"]
+        >= c["exact_dedup"]
+        >= c["near_dedup"]
+        >= c["decontaminated"]
+        >= c["quality"]
+        >= c["sampled"]
+    )
+    # sf0.01 documents are all byte-distinct but contain planted NEAR
+    # duplicates (jaccard ~0.97 pairs) — the near-dup stage must fire
+    assert c["near_dedup"] < c["exact_dedup"]
+    assert c["chunks"] > 0
+    chunks = res.chunks
+    assert chunks.where(F.col("n_chunk_tokens") > 32).count() == 0
+    # surviving docs are exact-dedup-clean
+    assert (
+        chunks.select("doc_id").distinct().count()
+        <= c["sampled"]
+    )
+
+
+def test_curate_cli(tmp_path):
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [
+            _sys.executable, "-m", "polars_genson_spark.jobs", "curate",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(tmp_path / "chunks"),
+            "--chunk-size", "64", "--no-near-dup",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    summary = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["chunks"] > 0 and summary["input"] >= summary["quality"]
+    import os as _os
+
+    assert any(f.endswith(".parquet") for f in _os.listdir(tmp_path / "chunks"))
