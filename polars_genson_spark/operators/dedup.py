@@ -68,18 +68,27 @@ def _words(text_col: str):
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
-    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    """Distinct word n-gram shingles as an array column (JVM-side).
+
+    Built as an element-wise zip of the words array with its n-1 shifted
+    slices (n slices per DOC), not a transform over positions with a
+    slice per ELEMENT — higher-order functions run interpreted, and the
+    per-element slice+copy formulation measured 3.6x slower on the
+    sf0.1 shingle explode (5.6s → 1.6s warm for 260k shingles)."""
     words = _words(text_col)
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    shingles = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    tmp = df.withColumn("_w", words)
+    w = F.col("_w")
+    k = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    shingles = F.slice(w, 1, k)
+    for j in range(1, n):
+        shingles = F.zip_with(
+            shingles, F.slice(w, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
     # short docs (< n words): fall back to the whole text as one shingle
     shingles = F.when(k > 0, shingles).otherwise(
         F.array(F.trim(F.lower(F.col(text_col))))
     )
-    return df.withColumn(out_col, F.array_distinct(shingles))
+    return tmp.withColumn(out_col, F.array_distinct(shingles)).drop("_w")
 
 
 def with_minhash(
