@@ -12,8 +12,10 @@ Public API (mirrors the reference's entry points, SURVEY.md §2.9):
 
 from .config import InferenceConfig, NormaliseConfig, ValidationConfig
 from .functions.dtypes import (
+    avro_to_spark_schema,
     json_to_schema,
     parse_dtype,
+    schema_to_dict,
     schema_to_json,
 )
 from .operators.infer import (
@@ -48,6 +50,8 @@ __all__ = [
     "get_spark",
     "schema_to_json",
     "json_to_schema",
+    "schema_to_dict",
+    "avro_to_spark_schema",
     "parse_dtype",
 ]
 

@@ -194,3 +194,41 @@ def json_to_schema(json_str: str) -> T.StructType:
             for name, ds in parsed.items()
         ]
     )
+
+
+def _dtype_to_dict(dtype: T.DataType):
+    """Recursively convert a Spark dtype to a nested Python dict
+    (reference __init__.py:1260-1271 ``_dtype_to_dict``)."""
+    if isinstance(dtype, T.StructType):
+        return {f.name: _dtype_to_dict(f.dataType) for f in dtype.fields}
+    if isinstance(dtype, T.ArrayType):
+        return {"list": _dtype_to_dict(dtype.elementType)}
+    if isinstance(dtype, T.MapType):
+        return {
+            "map": {
+                "key": _dtype_to_dict(dtype.keyType),
+                "value": _dtype_to_dict(dtype.valueType),
+            }
+        }
+    return format_dtype(dtype)
+
+
+def schema_to_dict(schema: T.StructType) -> dict:
+    """StructType → nested Python dict (reference __init__.py:1272-1277)."""
+    if not isinstance(schema, T.StructType):
+        raise TypeError(f"Expected StructType, got {type(schema)}")
+    return {f.name: _dtype_to_dict(f.dataType) for f in schema.fields}
+
+
+def avro_to_spark_schema(avro_schema_json: str) -> T.StructType:
+    """Avro schema JSON string → StructType
+    (reference ``avro_to_polars_schema``, __init__.py:1236-1257)."""
+    import json as _json
+
+    from .bridge import avro_to_spark_schema as _bridge_avro
+
+    parsed = _json.loads(avro_schema_json)
+    dt = _bridge_avro(parsed)
+    if isinstance(dt, T.StructType):
+        return dt
+    return T.StructType([T.StructField("value", dt, True)])

@@ -203,3 +203,45 @@ def _nullable(schema: T.StructType) -> T.StructType:
         return dt
 
     return nb(schema)  # type: ignore[return-value]
+
+
+def test_schema_to_dict_nested():
+    from polars_genson_spark import schema_to_dict
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(
+                "user",
+                T.StructType([T.StructField("name", T.StringType())]),
+            ),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    assert schema_to_dict(schema) == {
+        "id": "Int64",
+        "user": {"name": "String"},
+        "tags": {"list": "String"},
+    }
+    with pytest.raises(TypeError):
+        schema_to_dict({"not": "a schema"})
+
+
+def test_avro_to_spark_schema():
+    from polars_genson_spark import avro_to_spark_schema
+
+    avro = json.dumps(
+        {
+            "type": "record",
+            "name": "doc",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+                {"name": "maybe", "type": ["null", "double"]},
+            ],
+        }
+    )
+    st = avro_to_spark_schema(avro)
+    assert st["id"].dataType == T.LongType()
+    assert st["tags"].dataType == T.ArrayType(T.StringType())
+    assert st["maybe"].dataType == T.DoubleType()
