@@ -202,12 +202,15 @@ def lsh_topk(
     if cache_entries:
         tagged = tagged.persist()
     a, b = tagged.alias("a"), tagged.alias("b")
-    pairs = (
+    # candidates once per UNORDERED pair (id_a < id_b): cosine is
+    # symmetric, so computing it per ordered pair doubles the interpreted
+    # 64-element fold work; mirror the scored pair instead
+    half = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id")),
         )
         .select(
             F.col("a.id").alias("id_a"),
@@ -222,6 +225,25 @@ def lsh_topk(
             F.round(_dot(F.col("va"), F.col("vb")), 6).alias("cosine"),
         )
     )
+    # explode, not union: a self-union would put `half` in the plan twice
+    # and recompute every dot product; the explode fans each scored row
+    # into its two orientations in the same pass
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_a"),
+                    F.col("id_b").alias("id_b"),
+                    F.col("cosine").alias("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("cosine").alias("cosine"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     w = Window.partitionBy("id_a").orderBy(
         F.col("cosine").desc(), F.col("id_b")
     )

@@ -1,0 +1,57 @@
+"""Robustness sweep: every driver query runs against EMPTY copies of all
+ten tables without crashing (returns an empty/small DataFrame), except
+the schema-inference entries whose documented contract is to raise
+SchemaInferenceError when no documents exist (reference
+schema.rs: "No JSON documents found to process")."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from polars_genson_spark import SchemaInferenceError  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# queries whose contract is to RAISE on an empty corpus
+RAISES_ON_EMPTY = {
+    "schema_infer_events_props",
+    "normalise_events_props",
+    "normalise_decode_events",
+}
+# synthesizes its own input — empty tables are irrelevant
+SELF_CONTAINED = {"multimodal_features"}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .write.mode("overwrite")
+            .parquet(str(out / f"{t}.parquet"))
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_survives_empty_input(spark, empty_dir, name):
+    qfn = entry_mod.queries()[name]
+    if name in SELF_CONTAINED:
+        pytest.skip("synthesizes its own input")
+    if name in RAISES_ON_EMPTY:
+        with pytest.raises(SchemaInferenceError):
+            qfn(spark, empty_dir).collect()
+        return
+    out = qfn(spark, empty_dir)
+    assert out.count() == 0
+    assert len(out.schema.fields) > 0  # schema is still well-formed
