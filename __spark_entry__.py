@@ -348,6 +348,18 @@ def q_normalise_events_props(spark, sf_dir):
     return out.select("event_id", "norm")
 
 
+def q_schema_by_event_type(spark, sf_dir):
+    """Per-group schema inference (partial folds → per-group summary
+    merge; shuffle carries summaries, not documents)."""
+    from polars_genson_spark.operators.incremental import (
+        infer_json_schema_by_group,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = infer_json_schema_by_group(e, "props", "event_type")
+    return out.select("event_type", "schema_json", "processed")
+
+
 def q_hist_n_tok_corpus(spark, sf_dir):
     """Token-length histogram of the derived corpus (SURVEY §7.1 step 3);
     n_tok == whitespace word count, so DuckDB can oracle it from text."""
@@ -874,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         # genson heritage (schema inference / normalisation)
         "schema_infer_events_props": q_schema_infer_events_props,
+        "schema_by_event_type": q_schema_by_event_type,
         "per_row_schema_events": q_per_row_schema_events,
         "normalise_events_props": q_normalise_events_props,
         "normalise_decode_events": q_normalise_decode_events,
@@ -1178,6 +1191,28 @@ def oracle_sql() -> dict[str, str]:
                 separators=(",", ":"),
             )
             + "' AS schema_json FROM events WHERE event_id < 50"
+        ),
+        # per-group inference: every event_type's props is {"k": int} in
+        # the test data, so the oracle is the literal schema + per-group
+        # counts of non-blank docs
+        "schema_by_event_type": (
+            """
+            SELECT event_type, '"""
+            + json.dumps(
+                {
+                    "$schema": "http://json-schema.org/schema#",
+                    "properties": {"k": {"type": "integer"}},
+                    "required": ["k"],
+                    "type": "object",
+                },
+                sort_keys=True,
+            )
+            + """' AS schema_json,
+                   count(*) FILTER (
+                       WHERE props IS NOT NULL AND trim(props) <> ''
+                   ) AS processed
+            FROM events GROUP BY event_type
+        """
         ),
         "normalise_decode_events": """
             SELECT event_id,

@@ -18,6 +18,10 @@ from .functions.dtypes import (
     schema_to_dict,
     schema_to_json,
 )
+from .operators.incremental import (
+    infer_incremental,
+    infer_json_schema_by_group,
+)
 from .operators.infer import (
     InferenceResult,
     SchemaInferenceError,
@@ -41,6 +45,8 @@ __all__ = [
     "SchemaInferenceError",
     "infer_json_schema",
     "infer_json_schema_per_row",
+    "infer_json_schema_by_group",
+    "infer_incremental",
     "infer_spark_schema",
     "normalise_json",
     "normalise_json_with_result",
