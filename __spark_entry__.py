@@ -579,6 +579,25 @@ def q_stratified_sample_docs(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_repetition_trigrams(spark, sf_dir):
+    """Gopher-style repetition signal over raw (non-distinct) trigrams."""
+    from polars_genson_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return repetition_stats(d, n=3)
+
+
+def q_source_mix_docs(spark, sf_dir):
+    """Deterministic training-mix caps: first-k docs per source by id."""
+    from polars_genson_spark.operators.text import source_mix
+
+    d = _t(spark, sf_dir, "documents")
+    out = source_mix(
+        d, caps={"src0": 5, "src1": 3}, default_cap=10
+    )
+    return out.select("doc_id", "source")
+
+
 # --- rows-only (hash-dependent; no SQL oracle) -----------------------------
 
 
@@ -884,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "decontaminate_trigram": q_decontaminate_trigram,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "repetition_trigrams": q_repetition_trigrams,
+        "source_mix_docs": q_source_mix_docs,
         # genson heritage (schema inference / normalisation)
         "schema_infer_events_props": q_schema_infer_events_props,
         "schema_by_event_type": q_schema_by_event_type,
@@ -1499,6 +1520,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE (source = 'src0' AND doc_id % 2 < 1)
                OR (source = 'src1' AND doc_id % 10 < 1)
                OR (source NOT IN ('src0', 'src1') AND doc_id % 5 < 1)
+        """,
+        "repetition_trigrams": """
+            WITH w AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS norm,
+                       string_split_regex(trim(regexp_replace(lower(text),
+                           '\\s+', ' ', 'g')), ' ') AS words
+                FROM documents WHERE doc_id < 300
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= 3
+                            THEN [array_to_string(words[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(words) - 2)]
+                            ELSE [norm] END AS shingles
+                FROM w
+            ),
+            e AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+            c AS (
+                SELECT doc_id, shingle, count(*) AS c
+                FROM e GROUP BY 1, 2
+            )
+            SELECT doc_id, sum(c) AS n_shingles, max(c) AS max_rep,
+                   CAST(round(max(c) * 1.0 / sum(c), 4) AS DECIMAL(18,4))
+                       AS rep_ratio
+            FROM c GROUP BY doc_id
+        """,
+        "source_mix_docs": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            )
+            WHERE rn <= CASE source WHEN 'src0' THEN 5
+                                    WHEN 'src1' THEN 3
+                                    ELSE 10 END
         """,
         # ANN paths: full value-hash oracles — the hyperplane/centroid
         # constants are deterministic Python literals shared with the

@@ -184,3 +184,126 @@ def top_words(
         .where(F.col("rank") <= k)
         .select(group_col, "rank", "word", "df")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-corpus line dedup: drop every line whose exact text
+    occurs in >= min_df documents, reassemble the survivors in original
+    line order. Catches boilerplate (nav bars, cookie banners, licence
+    footers) that whole-doc dedup never sees.
+
+    Plan shape: posexplode lines → map-side-combined (line → df) count →
+    hot-line set is violation-rate-sized, so the filter is a broadcast
+    anti-join; reassembly groups by doc sorted on line position. The only
+    corpus-wide shuffle keys on xxhash64(line) (8 bytes), not the line."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy(F.xxhash64("line").alias("h"))
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("h")
+    )
+    kept = lines.join(
+        F.broadcast(hot),
+        F.xxhash64(lines.line) == hot.h,
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_deduped")
+        )
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        "text_deduped", F.coalesce("text_deduped", F.lit(""))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's word
+    n-grams taken up by its single most-repeated n-gram. High values mean
+    degenerate/templated text (quality-filter input).
+
+    RAW (non-distinct) shingles via the shifted-slice zip; explode →
+    (doc, shingle) counts with map-side partial aggregation → per-doc
+    max/sum. The shuffle is bounded by distinct (doc, shingle) pairs."""
+    words = _words(text_col)
+    tmp = df.withColumn("_w", words)
+    w = F.col("_w")
+    k = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    sh = F.slice(w, 1, k)
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(w, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    sh = F.when(k > 0, sh).otherwise(
+        F.array(F.trim(F.lower(F.col(text_col))))
+    )
+    exploded = tmp.select(
+        F.col(id_col), F.explode(sh).alias("shingle")
+    )
+    per_shingle = exploded.groupBy(id_col, "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_shingle.groupBy(id_col).agg(
+        F.sum("c").alias("n_shingles"),
+        F.max("c").alias("max_rep"),
+        F.round(F.max("c") / F.sum("c"), 4)
+        .cast("decimal(18,4)")
+        .alias("rep_ratio"),
+    )
+
+
+def source_mix(
+    df: DataFrame,
+    caps: dict[str, int],
+    default_cap: int | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-mix assembly: keep the first ``caps[source]``
+    docs per source (by id order). Sources without a cap keep
+    ``default_cap`` docs (None = unlimited).
+
+    One window shuffle on the group key. For sources too large to sort,
+    use :mod:`..sample`'s hash-rate sampling instead — caps give exact
+    counts, rates give exact fractions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    cap_expr = None
+    for src, cap in caps.items():
+        cond = F.when(F.col(group_col) == src, F.lit(cap))
+        cap_expr = cond if cap_expr is None else cap_expr.when(
+            F.col(group_col) == src, F.lit(cap)
+        )
+    if cap_expr is None:
+        cap_col = F.lit(default_cap)
+    else:
+        cap_col = cap_expr.otherwise(
+            F.lit(default_cap) if default_cap is not None else F.lit(None)
+        )
+    keep = cap_col.isNull() | (F.col("_rn") <= cap_col)
+    return ranked.where(keep).drop("_rn")

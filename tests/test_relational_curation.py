@@ -241,3 +241,69 @@ def test_curate_cli(tmp_path):
     import os as _os
 
     assert any(f.endswith(".parquet") for f in _os.listdir(tmp_path / "chunks"))
+
+
+def test_line_dedup_boilerplate(spark):
+    from polars_genson_spark.operators.text import line_dedup
+
+    banner = "accept our cookies"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique line one\nunique line two"),
+            (2, f"{banner}\ndifferent content here"),
+            (3, "no boilerplate at all"),
+            (4, banner),  # becomes empty after dedup
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_deduped"] for r in line_dedup(docs).collect()}
+    assert out[1] == "unique line one\nunique line two"
+    assert out[2] == "different content here"
+    assert out[3] == "no boilerplate at all"
+    assert out[4] == ""
+    # line order within a doc is preserved
+    docs2 = spark.createDataFrame(
+        [(1, "z last\na first"), (2, "z last\nb mid")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["text_deduped"] for r in line_dedup(docs2).collect()}
+    assert out2[1] == "a first"  # "z last" is shared → dropped
+
+
+def test_repetition_stats(spark):
+    from decimal import Decimal
+
+    from polars_genson_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),     # "a b c" x3 of 7 trigrams
+            (2, "all words differ here completely"),
+            (3, "xy"),                     # short doc → whole-text shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert out[1]["n_shingles"] == 7 and out[1]["max_rep"] == 3
+    assert out[1]["rep_ratio"] == Decimal("0.4286")
+    assert out[2]["max_rep"] == 1
+    assert out[3]["n_shingles"] == 1 and out[3]["max_rep"] == 1
+
+
+def test_source_mix_caps(spark):
+    from polars_genson_spark.operators.text import source_mix
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = source_mix(df, caps={"a": 3}, default_cap=5)
+    rows = out.collect()
+    a = sorted(r["doc_id"] for r in rows if r["source"] == "a")
+    b = sorted(r["doc_id"] for r in rows if r["source"] == "b")
+    assert a == [0, 2, 4]          # first 3 by id
+    assert b == [1, 3, 5, 7, 9]    # default cap 5
+    # unlimited default
+    out2 = source_mix(df, caps={"a": 1}, default_cap=None)
+    assert out2.where("source = 'b'").count() == 50
+    assert out2.where("source = 'a'").count() == 1
