@@ -48,12 +48,21 @@ def parse_cli_args(
     args: list[str],
 ) -> tuple[InferenceConfig, NormaliseConfig, bool, str | None]:
     """Parse reference-compatible flags → (infer_cfg, norm_cfg, normalise?,
-    input_path). Shared with the snapshot replay tests."""
+    input_path). 4-tuple wrapper kept for the snapshot replay tests;
+    :func:`parse_cli_args_full` additionally returns ``--pq-column``."""
+    cfg, norm, normalise, input_path, _pq = parse_cli_args_full(args)
+    return cfg, norm, normalise, input_path
+
+
+def parse_cli_args_full(
+    args: list[str],
+) -> tuple[InferenceConfig, NormaliseConfig, bool, str | None, str | None]:
     kw: dict = {}
     map_encoding = "mapping"  # CLI default (main.rs:29)
     coerce = False
     keep_empty = False
     normalise = False
+    pq_column: str | None = None
     input_path: str | None = None
     i = 0
     while i < len(args):
@@ -99,6 +108,8 @@ def parse_cli_args(
             keep_empty = True; i += 1
         elif a == "--map-encoding":
             map_encoding = args[i + 1]; i += 2
+        elif a == "--pq-column":
+            pq_column = args[i + 1]; i += 2
         elif a == "--max-builders":
             kw["max_builders"] = int(args[i + 1]); i += 2
         elif a in ("--debug", "--profile", "--verbose"):
@@ -114,7 +125,7 @@ def parse_cli_args(
         map_encoding=map_encoding,
         wrap_root=cfg.wrap_root,
     )
-    return cfg, norm, normalise, input_path
+    return cfg, norm, normalise, input_path, pq_column
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -122,20 +133,44 @@ def main(argv: list[str] | None = None) -> int:
     from .functions.normalise import normalise_document
     from .session import get_spark
 
-    cfg, norm, normalise, input_path = parse_cli_args(
+    cfg, norm, normalise, input_path, pq_column = parse_cli_args_full(
         list(sys.argv[1:] if argv is None else argv)
-    )
-    text = (
-        open(input_path).read() if input_path else sys.stdin.read()
     )
 
     spark = get_spark(app_name="genson-spark-cli")
     try:
-        df = spark.createDataFrame([(text,)], "doc string")
+        if pq_column is not None:
+            # parquet mode (main.rs:199-213): read the string column; with
+            # --ndjson each line becomes its own entry (processed_count
+            # counts lines, like the reference's flat_map)
+            if input_path is None:
+                raise SystemExit("--pq-column requires an input file path")
+            pq = spark.read.parquet(input_path).select(pq_column)
+            cells = [r[0] for r in pq.collect()]
+            if cfg.ndjson:
+                cells = [
+                    line for c in cells if c
+                    for line in c.splitlines() if line.strip()
+                ]
+            text = "\n".join(c for c in cells if c) if cfg.ndjson else None
+            rows = [(c,) for c in cells]
+            df = spark.createDataFrame(rows, "doc string")
+        else:
+            text = (
+                open(input_path).read() if input_path else sys.stdin.read()
+            )
+            df = spark.createDataFrame([(text,)], "doc string")
         if normalise:
             acfg = dataclasses.replace(cfg, avro=True)
             res = infer_json_schema(df, "doc", acfg)
-            if cfg.ndjson:
+            if pq_column is not None:
+                docs = []
+                for r in df.collect():
+                    try:
+                        docs.append(json.loads(r[0]) if r[0] else None)
+                    except ValueError:
+                        docs.append(None)  # main.rs:238 unwrap_or(Null)
+            elif cfg.ndjson:
                 docs = [
                     json.loads(l) for l in text.splitlines() if l.strip()
                 ]

@@ -249,3 +249,35 @@ def test_summary_dedup_same_schema(spark):
     res = infer_json_schema(df, "json_data")
     assert res.processed_count == 400
     assert sorted(res.schema["properties"]) == ["a", "b"]
+
+
+def test_cli_pq_column(spark, tmp_path):
+    """--pq-column parity (main.rs:199-246): infer and normalise straight
+    from a parquet string column; --ndjson counts lines, not cells."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    pq = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [('{"a": 1}\n{"a": 2, "b": "x"}',), ('{"a": 3}',)], "js string"
+    ).coalesce(1).write.mode("overwrite").parquet(pq)
+
+    out = subprocess.run(
+        [_sys.executable, "-m", "polars_genson_spark.cli",
+         "--pq-column", "js", "--ndjson", pq],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    schema = _json.loads(out.stdout)
+    assert schema["properties"]["a"] == {"type": "integer"}
+    assert schema["required"] == ["a"]
+    assert "Processed 3 documents" in out.stderr  # lines, not cells
+
+    norm = subprocess.run(
+        [_sys.executable, "-m", "polars_genson_spark.cli",
+         "--pq-column", "js", "--ndjson", "--normalise", pq],
+        capture_output=True, text=True, cwd="/root/repo", check=True,
+    )
+    lines = [l for l in norm.stdout.splitlines() if l.strip()]
+    assert len(lines) == 3
+    assert _json.loads(lines[0]) == {"a": 1, "b": None}
