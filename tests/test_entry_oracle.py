@@ -16,7 +16,11 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1 to stress the
+# hash gate at 10x the driver's comparison scale
+import os as _os
+
+SF_DIR = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
