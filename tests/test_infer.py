@@ -281,3 +281,23 @@ def test_cli_pq_column(spark, tmp_path):
     lines = [l for l in norm.stdout.splitlines() if l.strip()]
     assert len(lines) == 3
     assert _json.loads(lines[0]) == {"a": 1, "b": None}
+
+
+def test_schema_uri_semantics(spark):
+    """schema_uri parity (reference schema_uri_test.py + builder.rs:18-41):
+    AUTO → default URI, None → omitted, custom string → emitted as-is."""
+    df = make_json_df(spark, ['{"name": "Alice", "age": 30}'])
+
+    auto = infer_json_schema(df, "json_data").schema
+    assert auto["$schema"] == "http://json-schema.org/schema#"
+
+    none = infer_json_schema(
+        df, "json_data", InferenceConfig(schema_uri=None)
+    ).schema
+    assert "$schema" not in none
+
+    custom = infer_json_schema(
+        df, "json_data",
+        InferenceConfig(schema_uri="https://example.com/my-schema"),
+    ).schema
+    assert custom["$schema"] == "https://example.com/my-schema"
