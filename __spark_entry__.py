@@ -587,6 +587,13 @@ def q_repetition_trigrams(spark, sf_dir):
     return repetition_stats(d, n=3)
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Type-token ratio + word-distribution entropy per source."""
+    from polars_genson_spark.operators.text import lexical_diversity
+
+    return lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
 def q_source_mix_docs(spark, sf_dir):
     """Deterministic training-mix caps: first-k docs per source by id."""
     from polars_genson_spark.operators.text import source_mix
@@ -905,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": q_stratified_sample_docs,
         "repetition_trigrams": q_repetition_trigrams,
         "source_mix_docs": q_source_mix_docs,
+        "lexical_diversity": q_lexical_diversity,
         # genson heritage (schema inference / normalisation)
         "schema_infer_events_props": q_schema_infer_events_props,
         "schema_by_event_type": q_schema_by_event_type,
@@ -1547,6 +1555,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(max(c) * 1.0 / sum(c), 4) AS DECIMAL(18,4))
                        AS rep_ratio
             FROM c GROUP BY doc_id
+        """,
+        "lexical_diversity": """
+            WITH w AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+                FROM documents
+            ),
+            c AS (
+                SELECT source, word, count(*) AS c FROM w
+                WHERE word <> '' GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT source, sum(c) AS n_tokens, count(*) AS n_types
+                FROM c GROUP BY source
+            ),
+            h AS (
+                SELECT c.source,
+                       -sum((c.c * 1.0 / t.n_tokens)
+                            * log2(c.c * 1.0 / t.n_tokens)) AS ent
+                FROM c JOIN t ON c.source = t.source
+                GROUP BY c.source
+            )
+            SELECT t.source, t.n_tokens, t.n_types,
+                   CAST(round(t.n_types * 1.0 / t.n_tokens, 4)
+                       AS DECIMAL(18,4)) AS ttr,
+                   CAST(round(h.ent, 4) AS DECIMAL(18,4)) AS entropy
+            FROM t JOIN h ON t.source = h.source
         """,
         "source_mix_docs": """
             SELECT doc_id, source FROM (

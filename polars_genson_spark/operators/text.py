@@ -311,3 +311,49 @@ def source_mix(
         )
     keep = cap_col.isNull() | (F.col("_rn") <= cap_col)
     return ranked.where(keep).drop("_rn")
+
+
+def lexical_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group lexical-diversity signals for corpus curation:
+    token count, type count, type-token ratio, and Shannon entropy (bits)
+    of the word distribution. Low entropy / low TTR flags templated or
+    degenerate sources before training.
+
+    One explode → (group, word) counts with map-side combine; TTR and
+    entropy are computed on the rollup (≤ |groups| × |vocab| rows), so
+    nothing corpus-sized shuffles twice."""
+    words = _words(text_col)
+    counts = (
+        df.select(F.col(group_col), F.explode(words).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    p = F.col("c") / F.col("n_tokens")
+    ent = (
+        counts.join(totals, group_col)
+        .groupBy(group_col)
+        .agg(
+            (-F.sum(p * F.log2(p))).alias("_h"),
+        )
+    )
+    return (
+        totals.join(ent, group_col)
+        .select(
+            group_col,
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 4)
+            .cast("decimal(18,4)")
+            .alias("ttr"),
+            F.round(F.col("_h"), 4).cast("decimal(18,4)").alias("entropy"),
+        )
+    )
