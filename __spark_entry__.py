@@ -1568,21 +1568,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE word <> '' GROUP BY 1, 2
             ),
             t AS (
-                SELECT source, sum(c) AS n_tokens, count(*) AS n_types
+                -- same identity as the Spark side:
+                -- entropy = log2(N) - (sum c*log2 c)/N
+                SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+                       sum(c * log2(c)) AS s
                 FROM c GROUP BY source
-            ),
-            h AS (
-                SELECT c.source,
-                       -sum((c.c * 1.0 / t.n_tokens)
-                            * log2(c.c * 1.0 / t.n_tokens)) AS ent
-                FROM c JOIN t ON c.source = t.source
-                GROUP BY c.source
             )
-            SELECT t.source, t.n_tokens, t.n_types,
-                   CAST(round(t.n_types * 1.0 / t.n_tokens, 4)
+            SELECT source, n_tokens, n_types,
+                   CAST(round(n_types * 1.0 / n_tokens, 4)
                        AS DECIMAL(18,4)) AS ttr,
-                   CAST(round(h.ent, 4) AS DECIMAL(18,4)) AS entropy
-            FROM t JOIN h ON t.source = h.source
+                   CAST(round(log2(n_tokens) - s / n_tokens, 4)
+                       AS DECIMAL(18,4)) AS entropy
+            FROM t
         """,
         "source_mix_docs": """
             SELECT doc_id, source FROM (

@@ -333,27 +333,22 @@ def lexical_diversity(
         .groupBy(group_col, "word")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    totals = counts.groupBy(group_col).agg(
+    # entropy via the identity −Σ(c/N)·log2(c/N) = log2(N) − (Σ c·log2 c)/N:
+    # everything reduces in ONE second-level aggregation, so the plan is
+    # scan → (group, word) rollup → group rollup (the naive join-back
+    # formulation scanned the corpus twice and shuffled 16 times)
+    agg = counts.groupBy(group_col).agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.log2("c")).alias("_s"),
     )
-    p = F.col("c") / F.col("n_tokens")
-    ent = (
-        counts.join(totals, group_col)
-        .groupBy(group_col)
-        .agg(
-            (-F.sum(p * F.log2(p))).alias("_h"),
-        )
-    )
-    return (
-        totals.join(ent, group_col)
-        .select(
-            group_col,
-            "n_tokens",
-            "n_types",
-            F.round(F.col("n_types") / F.col("n_tokens"), 4)
-            .cast("decimal(18,4)")
-            .alias("ttr"),
-            F.round(F.col("_h"), 4).cast("decimal(18,4)").alias("entropy"),
-        )
+    entropy = F.log2("n_tokens") - F.col("_s") / F.col("n_tokens")
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / F.col("n_tokens"), 4)
+        .cast("decimal(18,4)")
+        .alias("ttr"),
+        F.round(entropy, 4).cast("decimal(18,4)").alias("entropy"),
     )
