@@ -200,32 +200,41 @@ def test_bloom_probe_vectorized_speedup():
         h2 = int.from_bytes(d[8:], "little") | 1
         return [((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % m_bits for i in range(k)]
 
-    t0 = time.perf_counter()
-    bitmap_old = np.zeros(m_bits // 64, dtype=np.uint64)
-    for v in values:
-        for p in scalar_positions(v):
-            bitmap_old[p >> 6] |= np.uint64(1 << (p & 63))
-    hits = sum(  # the round-1 probe loop (checks.py pre-r2)
-        all(
-            bitmap_old[p >> 6] & np.uint64(1 << (p & 63))
-            for p in scalar_positions(v)
+    # best-of-3 on BOTH sides: this is a wall-clock ratio assertion on a
+    # shared noisy host, and a single run of either side can land in a
+    # contended window (observed flaking at 6-9x on single runs)
+    t_scalar = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bitmap_old = np.zeros(m_bits // 64, dtype=np.uint64)
+        for v in values:
+            for p in scalar_positions(v):
+                bitmap_old[p >> 6] |= np.uint64(1 << (p & 63))
+        hits = sum(  # the round-1 probe loop (checks.py pre-r2)
+            all(
+                bitmap_old[p >> 6] & np.uint64(1 << (p & 63))
+                for p in scalar_positions(v)
+            )
+            for v in values
         )
-        for v in values
-    )
-    t_scalar = time.perf_counter() - t0
-    assert hits == len(values)
+        dt = time.perf_counter() - t0
+        t_scalar = dt if t_scalar is None or dt < t_scalar else t_scalar
+        assert hits == len(values)
 
     _bloom_positions_batch(values[:64], m_bits, k)  # warm up the C path
-    t0 = time.perf_counter()
-    pos_vec = _bloom_positions_batch(values, m_bits, k)
-    bits = np.left_shift(np.uint64(1), (pos_vec & 63).astype(np.uint64))
-    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
-    np.bitwise_or.at(bitmap, pos_vec >> 6, bits)
-    # probe phase, also vectorized
-    probe = _bloom_positions_batch(values, m_bits, k)
-    pbits = np.left_shift(np.uint64(1), (probe & 63).astype(np.uint64))
-    member = ((bitmap[probe >> 6] & pbits) != 0).all(axis=1)
-    t_vec = time.perf_counter() - t0
+    t_vec = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pos_vec = _bloom_positions_batch(values, m_bits, k)
+        bits = np.left_shift(np.uint64(1), (pos_vec & 63).astype(np.uint64))
+        bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+        np.bitwise_or.at(bitmap, pos_vec >> 6, bits)
+        # probe phase, also vectorized
+        probe = _bloom_positions_batch(values, m_bits, k)
+        pbits = np.left_shift(np.uint64(1), (probe & 63).astype(np.uint64))
+        member = ((bitmap[probe >> 6] & pbits) != 0).all(axis=1)
+        dt = time.perf_counter() - t0
+        t_vec = dt if t_vec is None or dt < t_vec else t_vec
 
     assert member.all()  # Bloom invariant: zero false negatives
     # absent keys: false-positive rate stays near the configured 1%
