@@ -724,6 +724,195 @@ def q_hll_uniqueness(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Relational breadth pack (round 2): adapted TPC-H patterns over the
+# narrower synthetic star schema, each exercising a distinct physical
+# strategy — pushdown scan (q6), EXISTS semi-join (q4), multi-dim
+# broadcast join (q9), outer-join distribution (q13), distinct agg (q16),
+# correlated-aggregate join (q17), HAVING semi-join (q18), scalar
+# subquery + anti-join (q22), and the binned range join.
+# ---------------------------------------------------------------------------
+
+
+def q6_band_revenue(spark, sf_dir):
+    """Pure scan: both predicates and the 3-column projection reach the
+    parquet reader (PushedFilters/ReadSchema audited in PLANS.md)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue")
+    )
+
+
+def q4_priority_late(spark, sf_dir):
+    """EXISTS as a left-semi join: orders in one quarter that had at least
+    one lineitem shipped after the order date. The semi-join keeps the
+    probe side at one output row per order (no fan-out, no dedup)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q9_profit_nation_year(spark, sf_dir):
+    """Multi-dim star join: fact lineitem against three dims, all tiny →
+    all broadcast, so the whole query is one scan + map-side joins +
+    one partial-agg shuffle of |nation|×|years| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+def q13_order_count_dist(spark, sf_dir):
+    """Customer order-count distribution: left outer join so 0-order
+    customers survive, then a double aggregation. count(o_orderkey)
+    (not count(*)) so the null rows of the outer join count as 0."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """Distinct-supplier counts per (brand, type, size) with a brand/type
+    exclusion — lineitem stands in for partsupp. countDistinct shuffles
+    (group, suppkey) once then collapses; the part dim is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """Correlated scalar subquery decorrelated by hand: the per-part avg
+    quantity is a partial-agg rollup (|part| rows) joined back on
+    l_partkey — both sides shuffle on the same key, so Catalyst reuses
+    the exchange instead of rescanning."""
+    li = _t(spark, sf_dir, "lineitem")
+    lim = li.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li.join(lim, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_volume(spark, sf_dir):
+    """HAVING-subquery as a semi-join: orders whose total quantity
+    exceeds 300 (≈ top 1%), joined back to orders+customer for the
+    report. The heavy agg runs on the fact table only; the join-back
+    side is small enough that AQE picks a broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q22_idle_customers(spark, sf_dir):
+    """Global-average scalar (1-row broadcast) + left-anti join against
+    orders: above-average-balance customers who never ordered, rolled up
+    per nation. The anti-join probes the orders custkey set — at scale
+    that side collapses to distinct custkeys before the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(
+        o.select("o_custkey").distinct(),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+def q_range_join_events(spark, sf_dir):
+    """Binned range join (operators/relational.py): for each event, how
+    many OTHER events start within the next 5 minutes. Equi-join on
+    300 s buckets + exact post-filter — never the broadcast nested loop
+    Spark would pick for a raw inequality join."""
+    from polars_genson_spark.operators.relational import range_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select(F.col("event_id"), F.col("ts"))
+    right = e.select(
+        F.col("event_id").alias("event_id2"), F.col("ts").alias("ts2")
+    )
+    joined = range_join(
+        left, right, "ts", "ts2", 0.0, 300.0, bucket_width=300.0
+    ).where(F.col("event_id") != F.col("event_id2"))
+    return joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_next")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANN oracle-SQL builders: the LSH hyperplanes / IVF centroids are
 # deterministic pure-Python literals (similarity._hyperplanes), so the
 # DuckDB oracle embeds the SAME constants and replicates bucketing,
@@ -887,6 +1076,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_orders": q3_top_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "window_top2_orders": q_window_top2_orders,
+        "q6_band_revenue": q6_band_revenue,
+        "q4_priority_late": q4_priority_late,
+        "q9_profit_nation_year": q9_profit_nation_year,
+        "q13_order_count_dist": q13_order_count_dist,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_large_volume": q18_large_volume,
+        "q22_idle_customers": q22_idle_customers,
+        "range_join_events": q_range_join_events,
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
         "hist_n_tok_corpus": q_hist_n_tok_corpus,
@@ -1027,6 +1225,94 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY n_name
+        """,
+        "q6_band_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q4_priority_late": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q9_profit_nation_year": """
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_type = 'PROMO'
+            GROUP BY 1, 2
+        """,
+        "q13_order_count_dist": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem li
+            JOIN (
+                SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+                FROM lineitem GROUP BY l_partkey
+            ) lim ON li.l_partkey = lim.l_partkey
+            WHERE li.l_quantity < lim.qty_lim
+        """,
+        "q18_large_volume": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_totalprice, sum_qty
+            FROM (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 300
+            )
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q22_idle_customers": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                      SELECT avg(c_acctbal) FROM customer
+                      WHERE c_acctbal > 0
+                  )
+              AND NOT EXISTS (
+                      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  )
+            GROUP BY c_nationkey
+        """,
+        "range_join_events": """
+            SELECT a.event_id, count(*) AS n_next
+            FROM events a JOIN events b
+              ON epoch(b.ts) >= epoch(a.ts)
+             AND epoch(b.ts) < epoch(a.ts) + 300
+             AND b.event_id <> a.event_id
+            GROUP BY a.event_id
         """,
         "window_top2_orders": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -62,3 +62,19 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+_SUBPACKAGES = ("sources", "operators", "functions", "streaming", "plans")
+
+
+def __getattr__(name):
+    # lazy subpackage access (PEP 562): pgs.streaming / pgs.plans resolve
+    # on first touch without widening the eager import graph above
+    if name in _SUBPACKAGES:
+        import importlib
+
+        return importlib.import_module(f"{__name__}.{name}")
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(list(globals()) + list(_SUBPACKAGES) + __all__))

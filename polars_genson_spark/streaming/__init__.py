@@ -1,1 +1,15 @@
-"""polars_genson_spark.streaming"""
+"""polars_genson_spark.streaming — lazy submodule access (PEP 562)."""
+
+_SUBMODULES = ("validate_stream",)
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f"{__name__}.{name}")
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_SUBMODULES))

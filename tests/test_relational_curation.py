@@ -307,3 +307,70 @@ def test_source_mix_caps(spark):
     out2 = source_mix(df, caps={"a": 1}, default_cap=None)
     assert out2.where("source = 'b'").count() == 50
     assert out2.where("source = 'a'").count() == 1
+
+
+def test_range_join_matches_naive_inequality(spark):
+    """Bucketed plan must equal the exact inequality join for every
+    bucket_width, including windows not aligned to bucket edges."""
+    from polars_genson_spark.operators.relational import range_join
+
+    import random
+
+    rng = random.Random(7)
+    lrows = [(i, rng.uniform(0, 100.0)) for i in range(80)]
+    rrows = [(1000 + i, rng.uniform(0, 100.0)) for i in range(120)]
+    left = spark.createDataFrame(lrows, "lid long, lv double")
+    right = spark.createDataFrame(rrows, "rid long, rv double")
+
+    def naive(lo, hi):
+        return {
+            (r["lid"], r["rid"])
+            for r in left.join(
+                right,
+                (F.col("rv") >= F.col("lv") + lo)
+                & (F.col("rv") < F.col("lv") + hi),
+            ).collect()
+        }
+
+    for lo, hi, w in [(0.0, 5.0, 5.0), (-3.0, 7.0, 2.5), (0.0, 5.0, 11.0),
+                      (2.0, 4.0, None)]:
+        got = {
+            (r["lid"], r["rid"])
+            for r in range_join(
+                left, right, "lv", "rv", lo, hi, bucket_width=w
+            ).collect()
+        }
+        assert got == naive(lo, hi), (lo, hi, w)
+
+
+def test_range_join_timestamps_subsecond(spark):
+    from polars_genson_spark.operators.relational import range_join
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base), (2, base + timedelta(seconds=10))], "lid long, lts timestamp"
+    )
+    # 4.5 s after left row 1: inside a 5 s window, outside after truncation
+    right = spark.createDataFrame(
+        [(10, base + timedelta(seconds=4, microseconds=500_000)),
+         (11, base + timedelta(seconds=5))],
+        "rid long, rts timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "lts", "rts", 0.0, 5.0).collect()
+    }
+    # rid=10 (+4.5 s) is in lid=1's [0,5) window; rid=11 sits exactly on
+    # the exclusive upper edge and must stay out
+    assert got == {(1, 10)}
+
+
+def test_range_join_errors(spark):
+    from polars_genson_spark.operators.relational import range_join
+
+    df = spark.createDataFrame([(1, 1.0)], "a long, v double")
+    df2 = spark.createDataFrame([(2, 2.0)], "b long, w double")
+    with pytest.raises(ValueError, match="empty range"):
+        range_join(df, df2, "v", "w", 5.0, 5.0)
+    with pytest.raises(ValueError, match="collision"):
+        range_join(df, df.withColumnRenamed("a", "c"), "v", "v", 0.0, 1.0)
