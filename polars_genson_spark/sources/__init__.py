@@ -1,7 +1,7 @@
 """polars_genson_spark.sources — lazy submodule access (PEP 562) so
 ``pgs.sources.corpus`` works without paying every reader's import cost."""
 
-_SUBMODULES = ("catalog", "corpus", "parquet_io")
+_SUBMODULES = ("bucketing", "catalog", "corpus", "parquet_io")
 
 
 def __getattr__(name):

@@ -374,3 +374,44 @@ def test_range_join_errors(spark):
         range_join(df, df2, "v", "w", 5.0, 5.0)
     with pytest.raises(ValueError, match="collision"):
         range_join(df, df.withColumnRenamed("a", "c"), "v", "v", 0.0, 1.0)
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Both sides bucketed on the join key -> SortMergeJoin with zero
+    shuffle Exchanges; result identical to the plain join."""
+    from polars_genson_spark.sources.bucketing import (
+        co_located_join,
+        plan_exchange_count,
+        write_bucketed,
+    )
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("feat_a"),
+    )
+    feats = spark.range(0, 500, 2).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 3).alias("feat_b"),
+    )
+    write_bucketed(docs, "t_docs_b", "doc_id", 8, sort_by="doc_id")
+    write_bucketed(feats, "t_feats_b", "doc_id", 8, sort_by="doc_id")
+    try:
+        # keep AQE from folding the tiny test tables into a broadcast —
+        # at real scale neither side would broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = co_located_join(spark, "t_docs_b", "t_feats_b", "doc_id")
+        assert plan_exchange_count(joined) == 0, joined._jdf.queryExecution().executedPlan().toString()
+        got = sorted(
+            (r["doc_id"], r["feat_a"], r["feat_b"]) for r in joined.collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["feat_a"], r["feat_b"])
+            for r in docs.join(feats, "doc_id").collect()
+        )
+        assert got == want and len(got) == 250
+        # the unbucketed plan DOES shuffle: the baseline the bucketing removes
+        assert plan_exchange_count(docs.join(feats, "doc_id")) > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_feats_b")
