@@ -68,6 +68,10 @@ def main() -> None:
         "near_dup_clusters",
         "decontaminate_trigram",
         "stratified_sample_docs",
+        # round-2 relational breadth pack
+        "q9_profit_nation_year",
+        "q13_order_count_dist",
+        "range_join_events",
     ]
 
     for name in headline:
