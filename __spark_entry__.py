@@ -921,6 +921,72 @@ def q_range_join_events(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table with the FIXED deterministic
+    centroids (shared `_hyperplanes` generator) so DuckDB replicates
+    assignment, the rank-based discard rule, and the survivor set
+    exactly. Threshold 0.3 because the synthetic vectors are
+    near-orthogonal (same reasoning as embedding_near_dupes)."""
+    from polars_genson_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return semantic_dedup(
+        e, dim=64, n_clusters=4, threshold=0.3, seed=7
+    )
+
+
+def _centroid_values(dim: int, n_clusters: int, seed: int) -> str:
+    """Normalised centroid literals for the semantic-dedup oracle —
+    MUST normalise exactly like the operator (python double math)."""
+    import math as _math
+
+    from polars_genson_spark.operators.similarity import _hyperplanes
+
+    rows = []
+    for i, c in enumerate(_hyperplanes(dim, n_clusters, seed)):
+        nrm = _math.sqrt(sum(x * x for x in c)) or 1.0
+        lit = "[" + ",".join(repr(x / nrm) for x in c) + "]"
+        rows.append(f"({i}, {lit}::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+def _semantic_dedup_sql(
+    n_vec: int, n_clusters: int, seed: int, threshold: float
+) -> str:
+    return f"""
+    WITH {_NORMED_CTE.format(n_vec=n_vec)},
+    cent(cid, c) AS (VALUES {_centroid_values(64, n_clusters, seed)}),
+    sims AS (
+        SELECT n.vec_id, cent.cid, list_dot_product(n.vn, cent.c) AS s
+        FROM n CROSS JOIN cent
+    ),
+    asg AS (
+        SELECT vec_id, cid AS cluster, s AS csim FROM (
+            SELECT vec_id, cid, s,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY s DESC, cid DESC
+                   ) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    tagged AS (
+        SELECT a.vec_id, a.cluster, a.csim, n.vn
+        FROM asg a JOIN n ON n.vec_id = a.vec_id
+    ),
+    discard AS (
+        SELECT DISTINCT a.vec_id
+        FROM tagged a JOIN tagged b
+          ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+         AND round(list_dot_product(a.vn, b.vn), 6) > {threshold}
+         AND (b.csim < a.csim
+              OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+    )
+    SELECT vec_id AS id, cluster, round(csim, 6) AS centroid_sim
+    FROM tagged
+    WHERE vec_id NOT IN (SELECT vec_id FROM discard)
+    """
+
+
 def _plane_values(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
     from polars_genson_spark.operators.similarity import _hyperplanes
 
@@ -1085,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume": q18_large_volume,
         "q22_idle_customers": q22_idle_customers,
         "range_join_events": q_range_join_events,
+        "semantic_dedup": q_semantic_dedup,
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
         "hist_n_tok_corpus": q_hist_n_tok_corpus,
@@ -1890,6 +1957,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_topk_ivf": _ivf_topk_sql(
             n_vec=200, n_centroids=8, n_probe=2, seed=7, k=1
+        ),
+        "semantic_dedup": _semantic_dedup_sql(
+            n_vec=300, n_clusters=4, seed=7, threshold=0.3
         ),
         # multimodal: the verifiable contract is (id mapping, kind mapping,
         # feature dimension); the feature VALUES are the honest stub

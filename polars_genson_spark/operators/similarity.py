@@ -406,3 +406,92 @@ def ivf_topk(
     return pairs.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+    cache_entries: bool = True,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster by nearest centroid, then inside each
+    cluster discard every item that has a ``threshold``-close neighbour
+    ranking before it — where "before" is the paper's keep-the-least-
+    typical rule: lower centroid similarity wins, id breaks ties.
+
+    The discard test is rank-based, not greedy-sequential, so it is a
+    single cluster-local self-join (no iteration, no driver loop):
+    drop x  ⇔  ∃ y in cluster(x): cos(x,y) > τ and
+                (sim_c(y), y.id) < (sim_c(x), x.id)
+
+    Scale shape: one scan to normalise + assign (all codegen, centroids
+    are broadcast literals), one shuffle on cluster id for the self-join,
+    one anti-join on the discard set. n_clusters grows with corpus size
+    so cluster populations — and the join's quadratic term — stay
+    bounded, exactly like the IVF buckets.
+
+    Returns survivors: (id, cluster, centroid_sim) with cosine rounded
+    to 6 dp for representation-stable comparison.
+    """
+    if centroids is None:
+        centroids = _hyperplanes(dim, n_clusters, seed)
+    # normalise centroids so centroid_sim is a true cosine
+    normed_cents = []
+    for c in centroids:
+        nrm = math.sqrt(sum(x * x for x in c)) or 1.0
+        normed_cents.append([x / nrm for x in c])
+
+    normed = with_normalized(df, vec_col).select(
+        F.col(id_col).alias("id"), "vec_norm"
+    )
+    ranks = _centroid_ranks(F.col("vec_norm"), normed_cents)
+    best = F.element_at(ranks, 1)
+    sims = F.array(
+        *[
+            _dot(F.col("vec_norm"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in normed_cents
+        ]
+    )
+    tagged = normed.select(
+        "id",
+        "vec_norm",
+        best.alias("cluster"),
+        F.element_at(sims, best + F.lit(1)).alias("csim"),
+    )
+    if cache_entries:
+        tagged = tagged.persist()
+
+    a, b = tagged.alias("a"), tagged.alias("b")
+    discard = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (
+                F.round(_dot(F.col("a.vec_norm"), F.col("b.vec_norm")), 6)
+                > threshold
+            )
+            & (
+                (F.col("b.csim") < F.col("a.csim"))
+                | (
+                    (F.col("b.csim") == F.col("a.csim"))
+                    & (F.col("b.id") < F.col("a.id"))
+                )
+            ),
+            "left_semi",
+        )
+    ).select("id")
+    return (
+        tagged.join(discard, "id", "left_anti")
+        .select(
+            "id",
+            "cluster",
+            F.round("csim", 6).alias("centroid_sim"),
+        )
+    )

@@ -28,6 +28,10 @@ RAISES_ON_EMPTY = {
 }
 # synthesizes its own input — empty tables are irrelevant
 SELF_CONTAINED = {"multimodal_features"}
+# global aggregates (no GROUP BY): SQL semantics give exactly ONE row of
+# NULL aggregates over empty input — DuckDB's oracle answer is the same
+# single row, so parity holds; the sweep just expects 1, not 0
+GLOBAL_AGG = {"q6_band_revenue", "q17_small_qty_revenue"}
 
 
 @pytest.fixture(scope="module")
@@ -53,5 +57,5 @@ def test_query_survives_empty_input(spark, empty_dir, name):
             qfn(spark, empty_dir).collect()
         return
     out = qfn(spark, empty_dir)
-    assert out.count() == 0
+    assert out.count() == (1 if name in GLOBAL_AGG else 0)
     assert len(out.schema.fields) > 0  # schema is still well-formed

@@ -290,3 +290,41 @@ def test_chunk_tokens_shapes(spark):
     )
     flat = [t for _, chunk in d1 for t in chunk]
     assert flat == list(range(70))
+
+
+def test_semantic_dedup_keeps_least_typical(spark):
+    """Planted near-dup pair in one cluster: the member with LOWER
+    centroid similarity survives (SemDeDup keep rule); singletons and
+    sub-threshold pairs are untouched."""
+    from polars_genson_spark.operators.similarity import semantic_dedup
+
+    # centroids: axis-aligned so cluster assignment is obvious
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.01, 0.0, 0.0]),   # cluster 0, very typical
+        (2, [1.0, 0.09, 0.0, 0.0]),   # cluster 0, near-dup of 1, less typical
+        (3, [0.2, 0.0, 1.0, 0.0]),    # cluster 0, far from 1/2 → survives
+        (4, [0.0, 1.0, 0.0, 0.0]),    # cluster 1 singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, dim=4, threshold=0.9, centroids=cents, cache_entries=False
+    )
+    got = {r["id"]: r["cluster"] for r in out.collect()}
+    # 1 and 2 are ~0.997 cosine: 2 has lower centroid_sim and survives
+    assert set(got) == {2, 3, 4}
+    assert got[2] == 0 and got[4] == 1
+
+
+def test_semantic_dedup_cluster_locality(spark):
+    """Near-identical vectors assigned to DIFFERENT clusters are both
+    kept — the trade-off SemDeDup accepts for cluster-local cost."""
+    from polars_genson_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(1, [1.0, 0.99]), (2, [0.99, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        df, dim=2, threshold=0.9, centroids=cents, cache_entries=False
+    )
+    assert {r["id"] for r in out.collect()} == {1, 2}
