@@ -733,6 +733,16 @@ def q_hll_uniqueness(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_psi_nchars(spark, sf_dir):
+    """PSI drift of each source's n_chars distribution vs the pooled
+    corpus (checks.psi_drift) — chi²/KS's production-monitoring sibling."""
+    from polars_genson_spark.operators.checks import psi_drift
+
+    return psi_drift(
+        _t(spark, sf_dir, "documents"), "n_chars", "source", 200.0
+    )
+
+
 def q6_band_revenue(spark, sf_dir):
     """Pure scan: both predicates and the 3-column projection reach the
     parquet reader (PushedFilters/ReadSchema audited in PLANS.md)."""
@@ -1156,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "hist_n_tok_corpus": q_hist_n_tok_corpus,
         "drift_ks_nchars": q_drift_ks_nchars,
+        "psi_nchars": q_psi_nchars,
         # training-data pipeline ops
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_survivors": q_dedup_survivors,
@@ -1292,6 +1303,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY n_name
+        """,
+        "psi_nchars": """
+            WITH b AS (
+                SELECT source,
+                       CAST(floor(n_chars / 200.0) AS BIGINT) AS bucket
+                FROM documents
+            ),
+            counts AS (
+                SELECT source, bucket, count(*) AS c
+                FROM b GROUP BY 1, 2
+            ),
+            totals AS (SELECT source, sum(c) AS n_g FROM counts GROUP BY 1),
+            overall AS (SELECT bucket, sum(c) AS c_b FROM counts GROUP BY 1),
+            grand AS (SELECT sum(c) AS g FROM counts),
+            grid AS (
+                SELECT t.source, o.bucket, t.n_g, o.c_b, grand.g
+                FROM totals t CROSS JOIN overall o CROSS JOIN grand
+            ),
+            j AS (
+                SELECT gr.source,
+                       greatest(
+                           CAST(coalesce(c.c, 0) AS DOUBLE) / gr.n_g, 1e-6
+                       ) AS p,
+                       CAST(gr.c_b AS DOUBLE) / gr.g AS q
+                FROM grid gr
+                LEFT JOIN counts c
+                  ON c.source = gr.source AND c.bucket = gr.bucket
+            )
+            SELECT source, round(sum((p - q) * ln(p / q)), 4) AS psi
+            FROM j GROUP BY source
         """,
         "q6_band_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

@@ -307,3 +307,56 @@ def drift_check(
     cfg = cfg or ValidationConfig()
     hist = token_id_histogram(df, cfg).collect()
     return drift_from_histogram((r.asDict() for r in hist), cfg)
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    bucket_width: float = 200.0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per group against the pooled corpus
+    distribution — the third drift lens next to chi² (frequency fit) and
+    KS (CDF distance); PSI is the one production monitoring convention
+    expects (PSI > 0.2 ≈ action threshold).
+
+    Fully distributed and SQL-expressible: one scan + one (group, bucket)
+    count shuffle; everything after runs on KB-sized rollups (|groups| ×
+    |buckets| grid), so the plan is corpus-size-independent past the
+    first aggregation, like the chi²/KS rollup.
+
+    Zero-count source buckets take ``eps`` (standard PSI smoothing); the
+    pooled q is never zero because the grid is built from observed
+    buckets only.
+    """
+    b = df.select(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(value_col) / F.lit(bucket_width)).alias("bucket"),
+    )
+    counts = b.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.persist()
+    totals = counts.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    overall = counts.groupBy("bucket").agg(F.sum("c").alias("c_b"))
+    grand = counts.agg(F.sum("c").alias("g"))
+    grid = totals.crossJoin(F.broadcast(overall)).crossJoin(
+        F.broadcast(grand)
+    )
+    j = grid.join(counts, ["grp", "bucket"], "left").select(
+        "grp",
+        F.greatest(
+            F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n_g"),
+            F.lit(eps),
+        ).alias("p"),
+        (F.col("c_b").cast("double") / F.col("g")).alias("q"),
+    )
+    return (
+        j.groupBy("grp")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                4,
+            ).alias("psi")
+        )
+        .select(F.col("grp").alias(group_col), "psi")
+    )

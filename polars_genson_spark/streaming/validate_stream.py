@@ -220,3 +220,35 @@ def stream_drop_duplicates(
     return stream.withWatermark(
         event_time_col, watermark
     ).dropDuplicatesWithinWatermark([cfg.doc_id_col])
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    event_time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessions via Spark's native
+    ``session_window`` — the streaming twin of
+    ``operators.relational.sessionize`` (same semantics: a session
+    closes after ``gap`` of user inactivity).
+
+    State is per-(user, open session) and is reclaimed once the
+    watermark passes the session close — bounded by active users, not
+    history. Output mode must be append; a session row emits when it
+    can no longer grow."""
+    return (
+        stream.withWatermark(event_time_col, watermark)
+        .groupBy(
+            F.session_window(F.col(event_time_col), gap),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

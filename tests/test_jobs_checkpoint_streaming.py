@@ -232,3 +232,54 @@ def test_stream_drop_duplicates(spark, tmp_path):
     ).collect()[0]
     distinct_in = corpus.select("doc_id").distinct().count()
     assert out["n"] == out["d"] == distinct_in
+
+
+def test_stream_sessionize_gap_semantics(spark, tmp_path):
+    """Native session_window sessions match the batch sessionize
+    operator's grouping on a replayed stream: same (user, n_events)
+    multiset, session bounds span the same events."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from polars_genson_spark.streaming.validate_stream import (
+        stream_sessionize,
+    )
+
+    in_dir = str(tmp_path / "sess_in")
+    os.makedirs(in_dir, exist_ok=True)
+    rows = [
+        (1, "2026-01-01 00:00:00"),
+        (1, "2026-01-01 00:10:00"),
+        (1, "2026-01-01 00:50:00"),   # 40 min gap -> new session
+        (2, "2026-01-01 00:05:00"),
+        # watermark flusher: pushes event time far enough that every
+        # session above is closed and emits in append mode; its own
+        # still-open session stays in state (asserted absent below)
+        (99, "2026-01-01 03:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    sess = stream_sessionize(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    )
+    assert got == [(1, 1), (1, 2), (2, 1)]  # user 99's session still open
