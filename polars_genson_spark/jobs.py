@@ -312,6 +312,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-size", type=int, default=512)
     c.add_argument("--min-jaccard", type=float, default=0.8)
     c.add_argument("--no-near-dup", action="store_true")
+    c.add_argument("--embeddings", default=None,
+                   help="embeddings parquet enabling the SemDeDup stage")
+    c.add_argument("--semantic-threshold", type=float, default=0.9)
 
     b = sub.add_parser("bench-one", help="one pinned throughput measurement")
     b.add_argument("--rows", type=int, required=True)
@@ -350,12 +353,18 @@ def main(argv: list[str] | None = None) -> int:
             benchmark = (
                 spark.read.parquet(args.benchmark) if args.benchmark else None
             )
+            embeddings = (
+                spark.read.parquet(args.embeddings)
+                if args.embeddings
+                else None
+            )
             cfg = CurateConfig(
                 chunk_size=args.chunk_size,
                 min_jaccard=args.min_jaccard,
                 near_dup=not args.no_near_dup,
+                semantic_threshold=args.semantic_threshold,
             )
-            result = curate(docs, benchmark, cfg)
+            result = curate(docs, benchmark, cfg, embeddings=embeddings)
             result.chunks.write.mode("overwrite").parquet(args.output)
             print(json.dumps(result.summary()))
             return 0

@@ -418,6 +418,7 @@ def semantic_dedup(
     seed: int = 7,
     centroids: list[list[float]] | None = None,
     cache_entries: bool = True,
+    return_discards: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster by nearest centroid, then inside each
@@ -437,7 +438,10 @@ def semantic_dedup(
     bounded, exactly like the IVF buckets.
 
     Returns survivors: (id, cluster, centroid_sim) with cosine rounded
-    to 6 dp for representation-stable comparison.
+    to 6 dp for representation-stable comparison. With
+    ``return_discards=True`` returns the dropped ids instead — the SMALL
+    side, the one a caller should broadcast into an anti-join (the
+    survivor set is corpus-sized).
     """
     if centroids is None:
         centroids = _hyperplanes(dim, n_clusters, seed)
@@ -487,6 +491,8 @@ def semantic_dedup(
             "left_semi",
         )
     ).select("id")
+    if return_discards:
+        return discard
     return (
         tagged.join(discard, "id", "left_anti")
         .select(

@@ -52,6 +52,11 @@ class CurateConfig:
     default_rate: tuple[int, int] = (1, 1)
     # decontamination (benchmark DataFrame supplied at run time)
     decontaminate_min_shared: int = 3
+    # semantic dedup (embeddings DataFrame supplied at run time)
+    semantic_threshold: float = 0.9
+    semantic_clusters: int = 8
+    embedding_dim: int = 64
+    embedding_id_col: str = "vec_id"
     # chunking
     chunk_size: int = 512
     vocab_size: int = 50_257
@@ -79,6 +84,7 @@ def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
     cfg: CurateConfig | None = None,
+    embeddings: DataFrame | None = None,
 ) -> CurateResult:
     """Run the curation pipeline; returns the chunk table plus per-stage
     surviving-row counts."""
@@ -137,6 +143,25 @@ def curate(
         cur = stage(
             cur.join(F.broadcast(losers), cfg.id_col, "left_anti"),
             "near_dedup",
+        )
+
+    # 2b. semantic dedup (SemDeDup): only docs whose embedding survives
+    #     the cluster-local rank-discard stay — catches paraphrase-level
+    #     duplication the lexical stages cannot see
+    if embeddings is not None:
+        from .operators.similarity import semantic_dedup
+
+        dropped = semantic_dedup(
+            embeddings,
+            dim=cfg.embedding_dim,
+            n_clusters=cfg.semantic_clusters,
+            threshold=cfg.semantic_threshold,
+            id_col=cfg.embedding_id_col,
+            return_discards=True,
+        ).select(F.col("id").alias(cfg.id_col))
+        cur = stage(
+            cur.join(F.broadcast(dropped), cfg.id_col, "left_anti"),
+            "semantic_dedup",
         )
 
     # 3. benchmark decontamination

@@ -144,3 +144,27 @@ def test_dtype_string_round_trip_stable(s):
     s2 = format_dtype(dt)
     assert parse_dtype(s2) == dt
     assert format_dtype(parse_dtype(s2)) == s2
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(-1e6, 1e6),
+    st.floats(-1e6, 1e6),
+    st.floats(-1e3, 1e3),
+    st.floats(0.001, 1e3),
+    st.floats(0.001, 2e3),
+)
+def test_range_join_bucket_coverage(l, r, lower, span, w):
+    """The binned range join's no-false-negative invariant: every right
+    value inside [l+lower, l+upper) falls in a bucket the left row was
+    exploded to — over arbitrary float inputs, including windows not
+    aligned to bucket edges (mirrors relational.range_join's math)."""
+    import math
+
+    upper = lower + span
+    if not (l + lower <= r < l + upper):
+        return
+    lb = math.floor((l + lower) / w)
+    ub = math.floor((l + upper) / w)
+    rb = math.floor(r / w)
+    assert lb <= rb <= ub

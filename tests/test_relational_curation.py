@@ -415,3 +415,30 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
         spark.sql("DROP TABLE IF EXISTS t_feats_b")
+
+
+def test_curate_with_semantic_stage(spark):
+    """Embeddings supplied: the semantic_dedup stage fires between
+    near-dup and decontamination, anti-joining the discard ids."""
+    from polars_genson_spark.pipeline import CurateConfig, curate
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .where(F.col("doc_id") < 200)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    )
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .where(F.col("vec_id") < 200)
+    )
+    cfg = CurateConfig(
+        near_dup=False,
+        semantic_threshold=0.3,
+        semantic_clusters=4,
+        chunk_size=64,
+    )
+    res = curate(docs, benchmark=None, cfg=cfg, embeddings=emb)
+    c = res.stage_counts
+    assert "semantic_dedup" in c
+    assert c["semantic_dedup"] < c["exact_dedup"]  # threshold 0.3 fires
+    assert c["chunks"] > 0
