@@ -275,6 +275,8 @@ def drift_from_histogram(
         cdf_s = 0.0
         cdf_r = 0.0
         ks = 0.0
+        psi = 0.0
+        eps = 1e-6
         for b in all_buckets:
             o_s = d.get(b, 0)
             o_r = sum(counts[t].get(b, 0) for t in counts if t != s)
@@ -288,6 +290,10 @@ def drift_from_histogram(
             cdf_s += o_s / n_s
             cdf_r += o_r / n_rest
             ks = max(ks, abs(cdf_s - cdf_r))
+            # PSI vs the pooled rest, eps-smoothed like psi_drift
+            p_b = max(o_s / n_s, eps)
+            q_b = max(o_r / n_rest, eps)
+            psi += (p_b - q_b) * math.log(p_b / q_b)
         p = _chi2_sf(chi2, max(dof - 1, 1))
         out.append(
             {
@@ -295,6 +301,7 @@ def drift_from_histogram(
                 "chi2": round(chi2, 4),
                 "p_value": p,
                 "ks": round(ks, 6),
+                "psi": round(psi, 4),
                 "drifted": bool(p < cfg.drift_alpha and ks >= cfg.ks_threshold),
             }
         )

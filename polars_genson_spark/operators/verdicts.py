@@ -169,9 +169,11 @@ def validate_corpus(
         drift = drift_from_histogram((r.asDict() for r in hist), cfg)
     if drift:
         drift_df = spark.createDataFrame(
-            [(d["source"], float(d["chi2"]), float(d["ks"]), bool(d["drifted"]))
+            [(d["source"], float(d["chi2"]), float(d["ks"]),
+              float(d["psi"]), bool(d["drifted"]))
              for d in drift],
-            f"{src} string, chi2 double, ks double, drifted boolean",
+            f"{src} string, chi2 double, ks double, psi double,"
+            " drifted boolean",
         )
     else:
         drift_df = None
@@ -190,7 +192,9 @@ def validate_corpus(
         }
     )
     if drift_df is not None:
-        verdicts = verdicts.fillna({"drifted": False, "chi2": 0.0, "ks": 0.0})
+        verdicts = verdicts.fillna(
+            {"drifted": False, "chi2": 0.0, "ks": 0.0, "psi": 0.0}
+        )
 
     pass_expr = c("consistency_violations") == zero
     if check_ref:
