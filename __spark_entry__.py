@@ -733,6 +733,48 @@ def q_hll_uniqueness(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_vector_search(spark, sf_dir):
+    """Serving-path search: cosine top-10 of ONE deterministic query
+    vector (shared `_hyperplanes` literal) against the whole embeddings
+    table — single narrow scan + TakeOrderedAndProject, no shuffle."""
+    from polars_genson_spark.operators.similarity import (
+        _hyperplanes,
+        brute_force_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, _hyperplanes(64, 1, seed=11)[0], k=10)
+
+
+def q_unigram_quality(spark, sf_dir):
+    """CCNet-style unigram LM quality proxy per doc (text.unigram_logprob)."""
+    from polars_genson_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def _vector_search_sql(k: int, seed: int) -> str:
+    from polars_genson_spark.operators.similarity import _hyperplanes
+
+    q = _hyperplanes(64, 1, seed)[0]
+    lit = "[" + ",".join(repr(x) for x in q) + "]::DOUBLE[]"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT {lit} AS qv)
+    SELECT vec_id,
+           round(
+               list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+               6
+           ) AS cosine
+    FROM e CROSS JOIN q
+    ORDER BY cosine DESC, vec_id
+    LIMIT {k}
+    """
+
+
 def q_psi_nchars(spark, sf_dir):
     """PSI drift of each source's n_chars distribution vs the pooled
     corpus (checks.psi_drift) — chi²/KS's production-monitoring sibling."""
@@ -1162,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "range_join_events": q_range_join_events,
         "semantic_dedup": q_semantic_dedup,
+        "vector_search": q_vector_search,
+        "unigram_quality": q_unigram_quality,
         "events_json": q_events_json,
         "events_hourly": q_events_hourly,
         "hist_n_tok_corpus": q_hist_n_tok_corpus,
@@ -1303,6 +1347,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY n_name
+        """,
+        "vector_search": _vector_search_sql(k=10, seed=11),
+        "unigram_quality": """
+            WITH w AS (
+                SELECT doc_id, word FROM (
+                    SELECT doc_id,
+                           unnest(string_split(
+                               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                               ' '
+                           )) AS word
+                    FROM documents
+                ) WHERE word <> ''
+            ),
+            freq AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+            total AS (SELECT count(*) AS t FROM w)
+            SELECT doc_id,
+                   round(avg(-log2(CAST(c AS DOUBLE) / t)), 4) AS mean_nll,
+                   count(*) AS n_words
+            FROM w JOIN freq USING (word) CROSS JOIN total
+            GROUP BY doc_id
         """,
         "psi_nchars": """
             WITH b AS (

@@ -501,3 +501,4 @@ def semantic_dedup(
             F.round("csim", 6).alias("centroid_sim"),
         )
     )
+

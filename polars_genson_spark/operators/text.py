@@ -352,3 +352,49 @@ def lexical_diversity(
         .alias("ttr"),
         F.round(entropy, 4).cast("decimal(18,4)").alias("entropy"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """CCNet-style LM quality proxy: per-doc mean negative log2
+    probability of its words under the corpus unigram distribution
+    (lower = more typical text; high values flag gibberish/outliers).
+
+    Two aggregations over one exploded view: (1) corpus word counts —
+    the "language model", reusable across runs at scale (persist/write
+    it); (2) per-doc mean of -log2(c_w / total). Out-of-vocabulary words
+    (below ``min_count``) score as count 1/2 (Laplace-ish floor), keeping
+    the expression total and deterministic. Both shuffles carry rollups
+    (words, then doc ids) — never the text."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+                " ",
+            )
+        ).alias("word"),
+    ).where(F.col("word") != "")
+    freq = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+    )
+    total = words.count()  # scalar: one job over the counted rollup
+    scored = words.join(F.broadcast(freq), "word", "left").select(
+        id_col,
+        (
+            -F.log2(
+                F.coalesce(F.col("c").cast("double"), F.lit(0.5))
+                / F.lit(float(total))
+            )
+        ).alias("nll"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("nll"), 4).alias("mean_nll"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

@@ -328,3 +328,30 @@ def test_semantic_dedup_cluster_locality(spark):
         df, dim=2, threshold=0.9, centroids=cents, cache_entries=False
     )
     assert {r["id"] for r in out.collect()} == {1, 2}
+
+
+def test_unigram_logprob_oov_floor(spark):
+    """min_count prunes rare words from the model; pruned words score
+    with the 0.5-count floor, so rarer text gets higher mean_nll."""
+    from polars_genson_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),
+            (2, "the zzzunique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in unigram_logprob(docs, min_count=2).collect()
+    }
+    import math
+
+    total = 6  # 4x the, 1x the, 1x zzzunique
+    the_nll = -math.log2(5 / total)
+    oov_nll = -math.log2(0.5 / total)
+    assert out[1]["n_words"] == 4
+    assert abs(out[1]["mean_nll"] - round(the_nll, 4)) < 1e-9
+    assert abs(out[2]["mean_nll"] - round((the_nll + oov_nll) / 2, 4)) < 1e-4
+    assert out[2]["mean_nll"] > out[1]["mean_nll"]
