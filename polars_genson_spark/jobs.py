@@ -316,6 +316,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="embeddings parquet enabling the SemDeDup stage")
     c.add_argument("--semantic-threshold", type=float, default=0.9)
 
+    sv = sub.add_parser(
+        "stream-validate",
+        help="incremental streaming validation: availableNow + checkpoint "
+             "(a rerun validates only files that arrived since)",
+    )
+    sv.add_argument("--input", required=True, help="corpus parquet dir")
+    sv.add_argument("--output", required=True, help="verdicts parquet dir")
+    sv.add_argument("--checkpoint", required=True)
+
     b = sub.add_parser("bench-one", help="one pinned throughput measurement")
     b.add_argument("--rows", type=int, required=True)
     b.add_argument("--cores", type=int, required=True)
@@ -367,6 +376,42 @@ def main(argv: list[str] | None = None) -> int:
             result = curate(docs, benchmark, cfg, embeddings=embeddings)
             result.chunks.write.mode("overwrite").parquet(args.output)
             print(json.dumps(result.summary()))
+            return 0
+        if args.cmd == "stream-validate":
+            from .config import ValidationConfig
+            from .operators.verdicts import validate_corpus
+            from .streaming.validate_stream import run_streaming_validation
+
+            batches: list[dict] = []
+
+            def on_batch(batch_df, batch_id):
+                if batch_df.isEmpty():
+                    return
+                report = validate_corpus(
+                    batch_df,
+                    allowed_sources_df(spark),
+                    ValidationConfig(),
+                )
+                (
+                    report.verdicts.withColumn(
+                        "batch_id", F.lit(batch_id)
+                    )
+                    .write.mode("append")
+                    .parquet(args.output)
+                )
+                n_src = report.verdicts.count()
+                ok = report.verdicts.where(~F.col("passed")).count() == 0
+                report.verdicts.unpersist()
+                report.violations.unpersist()
+                batches.append(
+                    {"batch": batch_id, "sources": n_src, "all_passed": ok}
+                )
+
+            q = run_streaming_validation(
+                spark, args.input, args.checkpoint, on_batch=on_batch
+            )
+            q.awaitTermination()
+            print(json.dumps({"batches": batches}))
             return 0
         if args.cmd == "validate":
             corpus = spark.read.parquet(args.input)

@@ -267,7 +267,7 @@ def drift_from_histogram(
         if n_s == 0 or n_rest == 0:
             out.append(
                 {"source": s, "chi2": 0.0, "p_value": 1.0, "ks": 0.0,
-                 "drifted": False}
+                 "psi": 0.0, "drifted": False}
             )
             continue
         chi2 = 0.0

@@ -245,3 +245,16 @@ def test_bloom_probe_vectorized_speedup():
     fp = ((bitmap[absent >> 6] & abits) != 0).all(axis=1).mean()
     assert fp < 0.05
     assert t_scalar / t_vec >= 10, f"speedup only {t_scalar / t_vec:.1f}x"
+
+
+def test_drift_single_source_has_all_keys():
+    """A rollup with only one source (n_rest == 0, the streaming
+    micro-batch shape) must still emit every drift field — regression
+    for the KeyError('psi') found driving jobs stream-validate."""
+    from polars_genson_spark.operators.checks import drift_from_histogram
+
+    rows = [{"source": "only", "bucket": 0, "cnt": 10}]
+    out = drift_from_histogram(rows)
+    assert len(out) == 1
+    assert set(out[0]) == {"source", "chi2", "p_value", "ks", "psi", "drifted"}
+    assert out[0]["drifted"] is False

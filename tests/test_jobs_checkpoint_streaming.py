@@ -283,3 +283,36 @@ def test_stream_sessionize_gap_semantics(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sessions_out").collect()
     )
     assert got == [(1, 1), (1, 2), (2, 1)]  # user 99's session still open
+
+
+def test_stream_validate_cli_resumes(tmp_path):
+    """jobs stream-validate processes every file once; a rerun with the
+    same checkpoint validates nothing new."""
+    import json
+    import subprocess
+    import sys
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "verdicts")
+    cp = str(tmp_path / "cp")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    gen = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "generate",
+         "--output", corpus, "--rows", "2000", "--seed", "5"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    r1 = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "stream-validate",
+         "--input", corpus, "--output", out, "--checkpoint", cp],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    b1 = json.loads(r1.stdout.strip().splitlines()[-1])["batches"]
+    assert len(b1) > 0
+    r2 = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "stream-validate",
+         "--input", corpus, "--output", out, "--checkpoint", cp],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert json.loads(r2.stdout.strip().splitlines()[-1])["batches"] == []
