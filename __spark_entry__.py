@@ -733,6 +733,16 @@ def q_hll_uniqueness(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_psi_daily_events(spark, sf_dir):
+    """Temporal drift: day-over-day PSI of the events value distribution
+    (checks.psi_temporal) — the time-axis sibling of psi_nchars."""
+    from polars_genson_spark.operators.checks import psi_temporal
+
+    return psi_temporal(
+        _t(spark, sf_dir, "events"), "ts", "value", bucket_width=50.0
+    )
+
+
 def q_vector_search(spark, sf_dir):
     """Serving-path search: cosine top-10 of ONE deterministic query
     vector (shared `_hyperplanes` literal) against the whole embeddings
@@ -1211,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_n_tok_corpus": q_hist_n_tok_corpus,
         "drift_ks_nchars": q_drift_ks_nchars,
         "psi_nchars": q_psi_nchars,
+        "psi_daily_events": q_psi_daily_events,
         # training-data pipeline ops
         "dedup_exact_text": q_dedup_exact_text,
         "dedup_survivors": q_dedup_survivors,
@@ -1367,6 +1378,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_words
             FROM w JOIN freq USING (word) CROSS JOIN total
             GROUP BY doc_id
+        """,
+        "psi_daily_events": """
+            WITH b AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(floor(value / 50.0) AS BIGINT) AS bucket
+                FROM events
+            ),
+            counts AS (
+                SELECT day, bucket, count(*) AS c FROM b GROUP BY 1, 2
+            ),
+            totals AS (SELECT day, sum(c) AS n FROM counts GROUP BY 1),
+            cur AS (
+                SELECT c.day, c.bucket, CAST(c.c AS DOUBLE) / t.n AS p
+                FROM counts c JOIN totals t USING (day)
+            ),
+            prev AS (
+                SELECT strftime(CAST(day AS DATE) + INTERVAL 1 DAY,
+                                '%Y-%m-%d') AS day,
+                       bucket, p AS q
+                FROM cur
+            ),
+            aligned AS (
+                SELECT day, bucket, p, q
+                FROM cur FULL JOIN prev USING (day, bucket)
+            )
+            SELECT day,
+                   round(sum(
+                       (greatest(coalesce(p, 0), 1e-6)
+                        - greatest(coalesce(q, 0), 1e-6))
+                       * ln(greatest(coalesce(p, 0), 1e-6)
+                            / greatest(coalesce(q, 0), 1e-6))
+                   ), 4) AS psi
+            FROM aligned
+            GROUP BY day
+            HAVING max(CASE WHEN q IS NOT NULL THEN 1 ELSE 0 END) = 1
         """,
         "psi_nchars": """
             WITH b AS (

@@ -367,3 +367,60 @@ def psi_drift(
         )
         .select(F.col("grp").alias(group_col), "psi")
     )
+
+
+def psi_temporal(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_width: float = 10.0,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Day-over-day PSI of a value distribution — drift along the TIME
+    axis (each day vs the previous day), complementing
+    :func:`psi_drift`'s cross-source axis.
+
+    Shape: one scan → (day, bucket) counts; adjacent days align via a
+    full outer self-join of the KB-sized rollup on bucket (missing
+    buckets take the eps floor on their side). Everything after the
+    first aggregation is calendar-sized, not corpus-sized.
+    """
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    b = df.select(
+        day.alias("day"),
+        F.floor(F.col(value_col) / F.lit(bucket_width)).alias("bucket"),
+    )
+    counts = b.groupBy("day", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    totals = counts.groupBy("day").agg(F.sum("c").alias("n"))
+    cur = (
+        counts.join(totals, "day")
+        .select(
+            "day",
+            "bucket",
+            (F.col("c").cast("double") / F.col("n")).alias("p"),
+        )
+    )
+    prev = cur.select(
+        F.date_format(F.date_add(F.to_date("day"), 1), "yyyy-MM-dd")
+        .alias("day"),
+        F.col("bucket"),
+        F.col("p").alias("q"),
+    )
+    aligned = cur.join(prev, ["day", "bucket"], "full").where(
+        F.col("day").isNotNull()
+    )
+    # a (day, bucket) missing on one side means probability 0 → eps floor
+    p = F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(eps))
+    q = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(eps))
+    out = (
+        aligned.groupBy("day")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+            F.max(F.col("q").isNotNull().cast("int")).alias("_has_prev"),
+        )
+        .where(F.col("_has_prev") == 1)  # first day has no baseline
+        .drop("_has_prev")
+    )
+    return out
