@@ -63,6 +63,12 @@ __all__ = [
 
 __version__ = "0.1.0"
 
+# df.genson.* accessor, like the reference's import-time registration
+from .namespace import GensonNamespace, register_genson_namespace  # noqa: E402
+
+register_genson_namespace()
+__all__ += ["GensonNamespace", "register_genson_namespace"]
+
 _SUBPACKAGES = ("sources", "operators", "functions", "streaming", "plans")
 
 

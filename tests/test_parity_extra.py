@@ -230,3 +230,31 @@ def test_normalise_idempotent_random(docs):
         once = normalise_document(d, avro, cfg)
         twice = normalise_document(once, avro, cfg)
         assert once == twice
+
+
+def test_genson_namespace_accessor(spark):
+    """df.genson.* parity with the reference's registered namespace:
+    infer (json + spark schema, kwargs as config knobs), normalise with
+    decode-by-default, schema_to_json of the frame's own schema."""
+    import json
+
+    import polars_genson_spark  # noqa: F401 — registers the namespace
+
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ('{"a": 2}',)], "json_data string"
+    )
+    js = df.genson.infer_json_schema("json_data")
+    assert js["type"] == "object" and set(js["properties"]) == {"a", "b"}
+    assert js["required"] == ["a"]
+
+    st = df.genson.infer_spark_schema("json_data")
+    assert {f.name for f in st.fields} == {"a", "b"}
+    # reference alias + a config kwarg routed into InferenceConfig
+    st2 = df.genson.infer_polars_schema("json_data", map_threshold=1)
+    assert st2 is not None
+
+    out = df.genson.normalise_json("json_data")
+    assert set(out.columns) == {"a", "b"}  # decode=True unnests by default
+
+    sj = json.loads(df.genson.schema_to_json())
+    assert sj == {"json_data": "String"}
