@@ -124,14 +124,28 @@ def grouped_quantiles(
     group_col: str,
     value_col: str,
     quantiles: list[float],
+    method: str = "exact",
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Exact linear-interpolation quantiles per group (Spark ``percentile``
-    == DuckDB/Postgres ``quantile_cont`` semantics). Exact percentile
-    holds the group's values — use for bounded-cardinality groups; the
-    approx_percentile sketch is the scale path when groups are huge and a
-    rank error is acceptable."""
+    """Per-group quantiles.
+
+    ``method="exact"``: linear-interpolation ``percentile`` (== DuckDB /
+    Postgres ``quantile_cont``) — holds each group's values in memory,
+    right for bounded-cardinality groups and for oracle comparisons.
+
+    ``method="approx"``: ``approx_percentile`` (Greenwald–Khanna sketch,
+    mergeable, bounded memory ~O(accuracy)) — the 100 TB path: rank error
+    ≤ 1/accuracy, map-side combinable, no group materialisation.
+    """
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown method: {method!r}")
     qs = ", ".join(repr(float(q)) for q in quantiles)
-    agg = F.expr(f"percentile({value_col}, array({qs}))")
+    if method == "approx":
+        agg = F.expr(
+            f"approx_percentile({value_col}, array({qs}), {int(accuracy)})"
+        )
+    else:
+        agg = F.expr(f"percentile({value_col}, array({qs}))")
     out = df.groupBy(group_col).agg(agg.alias("_qs"))
     return out.select(
         group_col,

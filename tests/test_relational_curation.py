@@ -442,3 +442,21 @@ def test_curate_with_semantic_stage(spark):
     assert "semantic_dedup" in c
     assert c["semantic_dedup"] < c["exact_dedup"]  # threshold 0.3 fires
     assert c["chunks"] > 0
+
+
+def test_grouped_quantiles_approx_close_to_exact(spark):
+    """The sketch path tracks the exact path within its rank-error bound
+    on a 10k-row group, and rejects unknown methods."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(10_000)], "grp string, v double"
+    )
+    exact = grouped_quantiles(df, "grp", "v", [0.5, 0.99]).collect()[0]
+    approx = grouped_quantiles(
+        df, "grp", "v", [0.5, 0.99], method="approx", accuracy=10_000
+    ).collect()[0]
+    for col in ("q0_5", "q0_99"):
+        assert abs(float(exact[col]) - float(approx[col])) <= 10_000 * (1 / 10_000) + 1
+    with pytest.raises(ValueError, match="unknown method"):
+        grouped_quantiles(df, "grp", "v", [0.5], method="bogus")
