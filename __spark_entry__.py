@@ -1413,6 +1413,7 @@ def oracle_sql() -> dict[str, str]:
             FROM aligned
             GROUP BY day
             HAVING max(CASE WHEN q IS NOT NULL THEN 1 ELSE 0 END) = 1
+               AND day IN (SELECT day FROM totals)
         """,
         "psi_nchars": """
             WITH b AS (

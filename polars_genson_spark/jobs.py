@@ -315,6 +315,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--embeddings", default=None,
                    help="embeddings parquet enabling the SemDeDup stage")
     c.add_argument("--semantic-threshold", type=float, default=0.9)
+    c.add_argument("--embedding-dim", type=int, default=64)
+    c.add_argument("--semantic-clusters", type=int, default=8)
 
     sv = sub.add_parser(
         "stream-validate",
@@ -372,6 +374,8 @@ def main(argv: list[str] | None = None) -> int:
                 min_jaccard=args.min_jaccard,
                 near_dup=not args.no_near_dup,
                 semantic_threshold=args.semantic_threshold,
+                embedding_dim=args.embedding_dim,
+                semantic_clusters=args.semantic_clusters,
             )
             result = curate(docs, benchmark, cfg, embeddings=embeddings)
             result.chunks.write.mode("overwrite").parquet(args.output)
@@ -393,10 +397,14 @@ def main(argv: list[str] | None = None) -> int:
                     ValidationConfig(),
                 )
                 (
+                    # foreachBatch is at-least-once: a replayed batch must
+                    # overwrite ITS OWN partition, not append a duplicate
                     report.verdicts.withColumn(
                         "batch_id", F.lit(batch_id)
                     )
-                    .write.mode("append")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
                     .parquet(args.output)
                 )
                 n_src = report.verdicts.count()

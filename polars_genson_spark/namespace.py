@@ -52,18 +52,29 @@ class GensonNamespace:
         cfg_kw = {k: kwargs.pop(k) for k in list(kwargs) if k in cfg_fields}
         return InferenceConfig(**cfg_kw)
 
+    @staticmethod
+    def _reject_unknown(kwargs: dict, allowed: tuple = ()) -> None:
+        """A typo'd knob must not silently fall back to defaults."""
+        unknown = [k for k in kwargs if k not in allowed]
+        if unknown:
+            raise TypeError(f"unknown keyword argument(s): {unknown}")
+
     def infer_json_schema(self, column: str, **kwargs: Any) -> dict:
         """Merged JSON Schema of a JSON-string column (reference
         ``df.genson.infer_json_schema``)."""
         from .operators.infer import infer_json_schema
 
-        return infer_json_schema(self._df, column, self._cfg(kwargs)).schema
+        cfg = self._cfg(kwargs)
+        self._reject_unknown(kwargs)
+        return infer_json_schema(self._df, column, cfg).schema
 
     def infer_spark_schema(self, column: str, **kwargs: Any):
         """StructType (the reference's ``infer_polars_schema``)."""
         from .operators.infer import infer_spark_schema
 
-        return infer_spark_schema(self._df, column, self._cfg(kwargs))
+        cfg = self._cfg(kwargs)
+        self._reject_unknown(kwargs)
+        return infer_spark_schema(self._df, column, cfg)
 
     # reference-compatible alias
     infer_polars_schema = infer_spark_schema
@@ -84,6 +95,9 @@ class GensonNamespace:
         if "map_encoding" in kwargs:
             norm_kw["map_encoding"] = kwargs.pop("map_encoding")
         norm = NormaliseConfig(wrap_root=cfg.wrap_root, **norm_kw)
+        self._reject_unknown(
+            kwargs, allowed=("decode", "unnest", "output_col", "avro_schema")
+        )
         kwargs.setdefault("decode", True)  # reference namespace default
         return normalise_json(self._df, column, cfg, norm, **kwargs)
 

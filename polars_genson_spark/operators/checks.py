@@ -267,7 +267,7 @@ def drift_from_histogram(
         if n_s == 0 or n_rest == 0:
             out.append(
                 {"source": s, "chi2": 0.0, "p_value": 1.0, "ks": 0.0,
-                 "psi": 0.0, "drifted": False}
+                 "psi_rest": 0.0, "drifted": False}
             )
             continue
         chi2 = 0.0
@@ -290,7 +290,9 @@ def drift_from_histogram(
             cdf_s += o_s / n_s
             cdf_r += o_r / n_rest
             ks = max(ks, abs(cdf_s - cdf_r))
-            # PSI vs the pooled rest, eps-smoothed like psi_drift
+            # leave-one-out PSI (baseline = pooled REST, like the chi²/KS
+            # comparisons here) — named psi_rest to distinguish it from
+            # psi_drift's pooled-including-self convention
             p_b = max(o_s / n_s, eps)
             q_b = max(o_r / n_rest, eps)
             psi += (p_b - q_b) * math.log(p_b / q_b)
@@ -301,7 +303,7 @@ def drift_from_histogram(
                 "chi2": round(chi2, 4),
                 "p_value": p,
                 "ks": round(ks, 6),
-                "psi": round(psi, 4),
+                "psi_rest": round(psi, 4),
                 "drifted": bool(p < cfg.drift_alpha and ks >= cfg.ks_threshold),
             }
         )
@@ -324,9 +326,14 @@ def psi_drift(
     eps: float = 1e-6,
 ) -> DataFrame:
     """Population Stability Index per group against the pooled corpus
-    distribution — the third drift lens next to chi² (frequency fit) and
-    KS (CDF distance); PSI is the one production monitoring convention
-    expects (PSI > 0.2 ≈ action threshold).
+    distribution INCLUDING the group itself — the production-monitoring
+    convention (current window vs overall reference; PSI > 0.2 ≈ action
+    threshold). NOTE the baseline differs from the verdicts' ``psi_rest``
+    column, which is leave-one-out (group vs pooled REST, matching the
+    chi²/KS comparisons): for a dominant group, including itself dilutes
+    its own drift — use psi_rest when asking "does this source deviate
+    from the others", use this when asking "how far is this slice from
+    the corpus profile".
 
     Fully distributed and SQL-expressible: one scan + one (group, bucket)
     count shuffle; everything after runs on KB-sized rollups (|groups| ×
@@ -408,9 +415,7 @@ def psi_temporal(
         F.col("bucket"),
         F.col("p").alias("q"),
     )
-    aligned = cur.join(prev, ["day", "bucket"], "full").where(
-        F.col("day").isNotNull()
-    )
+    aligned = cur.join(prev, ["day", "bucket"], "full")
     # a (day, bucket) missing on one side means probability 0 → eps floor
     p = F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(eps))
     q = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(eps))
@@ -422,5 +427,9 @@ def psi_temporal(
         )
         .where(F.col("_has_prev") == 1)  # first day has no baseline
         .drop("_has_prev")
+        # the +1 shift also manufactures rows for the day AFTER the last
+        # observed day (and after any gap) — p all-eps, q real, a huge
+        # bogus PSI. Only days that actually have data may report.
+        .join(totals.select("day"), "day", "left_semi")
     )
     return out

@@ -193,13 +193,21 @@ def range_join(
     def _as_num(df, col):
         # timestamp→double keeps fractional seconds (unix_timestamp would
         # truncate to whole seconds and silently widen the window).
-        # TIMESTAMP_NTZ has no direct double cast — hop through ltz; the
-        # session-tz offset is a constant, identical on both sides, so it
-        # cancels in the bucket ids and the exact post-filter alike.
+        # TIMESTAMP_NTZ must NOT hop through the session timezone: the
+        # offset is not constant across a DST transition, so a window
+        # spanning spring-forward would silently admit/drop wrong pairs.
+        # Wall-clock values get linear micros-since-epoch via
+        # timestampdiff, which is timezone-free by construction.
         dt = dict(df.dtypes)[col]
         c = F.col(col)
-        if dt.startswith("timestamp"):
-            c = c.cast("timestamp")
+        if dt == "timestamp_ntz":
+            return (
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+                )
+                / F.lit(1_000_000.0)
+            )
         return c.cast("double")
 
     lnum = _as_num(left, left_on)

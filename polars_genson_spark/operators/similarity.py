@@ -443,6 +443,15 @@ def semantic_dedup(
     side, the one a caller should broadcast into an anti-join (the
     survivor set is corpus-sized).
     """
+    # zip_with pads length mismatches with nulls, which would null every
+    # centroid similarity and make the discard predicate silently false —
+    # a no-op dedup that LOOKS like it ran. Fail loudly instead (one
+    # first() on a narrow projection, negligible next to the self-join).
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is not None and probe["d"] != dim:
+        raise ValueError(
+            f"dim={dim} but {vec_col!r} vectors have length {probe['d']}"
+        )
     if centroids is None:
         centroids = _hyperplanes(dim, n_clusters, seed)
     # normalise centroids so centroid_sim is a true cosine

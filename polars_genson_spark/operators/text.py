@@ -364,12 +364,14 @@ def unigram_logprob(
     probability of its words under the corpus unigram distribution
     (lower = more typical text; high values flag gibberish/outliers).
 
-    Two aggregations over one exploded view: (1) corpus word counts —
-    the "language model", reusable across runs at scale (persist/write
-    it); (2) per-doc mean of -log2(c_w / total). Out-of-vocabulary words
-    (below ``min_count``) score as count 1/2 (Laplace-ish floor), keeping
-    the expression total and deterministic. Both shuffles carry rollups
-    (words, then doc ids) — never the text."""
+    One corpus scan: the exploded words view is persisted, the unigram
+    model is its (word, count) rollup (reusable across runs at scale —
+    persist/write it), the grand total derives from that rollup for free,
+    and scoring joins words↔model on the word key WITHOUT a broadcast
+    hint — a web-scale vocabulary is far beyond broadcast limits, and the
+    shuffle join only ever carries the rollup plus (id, word) pairs.
+    Out-of-vocabulary words (below ``min_count``) score as count 1/2
+    (Laplace-ish floor), keeping the expression total and deterministic."""
     words = df.select(
         F.col(id_col),
         F.explode(
@@ -378,14 +380,12 @@ def unigram_logprob(
                 " ",
             )
         ).alias("word"),
-    ).where(F.col("word") != "")
-    freq = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= min_count)
-    )
-    total = words.count()  # scalar: one job over the counted rollup
-    scored = words.join(F.broadcast(freq), "word", "left").select(
+    ).where(F.col("word") != "").persist()
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # grand total from the vocabulary-sized rollup, not a second scan
+    total = wc.agg(F.sum("c")).first()[0] or 1
+    freq = wc.where(F.col("c") >= min_count)
+    scored = words.join(freq, "word", "left").select(
         id_col,
         (
             -F.log2(

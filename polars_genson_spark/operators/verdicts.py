@@ -170,9 +170,9 @@ def validate_corpus(
     if drift:
         drift_df = spark.createDataFrame(
             [(d["source"], float(d["chi2"]), float(d["ks"]),
-              float(d["psi"]), bool(d["drifted"]))
+              float(d["psi_rest"]), bool(d["drifted"]))
              for d in drift],
-            f"{src} string, chi2 double, ks double, psi double,"
+            f"{src} string, chi2 double, ks double, psi_rest double,"
             " drifted boolean",
         )
     else:
@@ -193,7 +193,7 @@ def validate_corpus(
     )
     if drift_df is not None:
         verdicts = verdicts.fillna(
-            {"drifted": False, "chi2": 0.0, "ks": 0.0, "psi": 0.0}
+            {"drifted": False, "chi2": 0.0, "ks": 0.0, "psi_rest": 0.0}
         )
 
     pass_expr = c("consistency_violations") == zero

@@ -256,5 +256,28 @@ def test_drift_single_source_has_all_keys():
     rows = [{"source": "only", "bucket": 0, "cnt": 10}]
     out = drift_from_histogram(rows)
     assert len(out) == 1
-    assert set(out[0]) == {"source", "chi2", "p_value", "ks", "psi", "drifted"}
+    assert set(out[0]) == {
+        "source", "chi2", "p_value", "ks", "psi_rest", "drifted"
+    }
     assert out[0]["drifted"] is False
+
+
+def test_psi_temporal_no_phantom_days(spark):
+    """Only observed days report PSI: no phantom day after the last
+    observed day or after a gap (code-review finding r2)."""
+    from datetime import datetime
+
+    from polars_genson_spark.operators.checks import psi_temporal
+
+    rows = (
+        [(datetime(2026, 1, 1, 10, 0), float(v)) for v in range(20)]
+        + [(datetime(2026, 1, 2, 10, 0), float(v)) for v in range(20)]
+        # gap: no data on jan 3; data again on jan 4
+        + [(datetime(2026, 1, 4, 10, 0), float(v + 5)) for v in range(20)]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r["day"]: r["psi"] for r in psi_temporal(df, "ts", "value", 10.0).collect()}
+    # jan 2 has a baseline (jan 1); jan 3 has no data; jan 4's prev day
+    # (jan 3) has no data; jan 5 does not exist
+    assert set(out) == {"2026-01-02"}
+    assert out["2026-01-02"] == 0.0  # identical distributions

@@ -460,3 +460,35 @@ def test_grouped_quantiles_approx_close_to_exact(spark):
         assert abs(float(exact[col]) - float(approx[col])) <= 10_000 * (1 / 10_000) + 1
     with pytest.raises(ValueError, match="unknown method"):
         grouped_quantiles(df, "grp", "v", [0.5], method="bogus")
+
+
+def test_range_join_ntz_dst_safe(spark):
+    """NTZ timestamps are compared on the wall-clock line, not through
+    the session timezone: identical results under a DST-observing zone
+    across the US 2026 spring-forward (code-review finding r2)."""
+    from polars_genson_spark.operators.relational import range_join
+
+    rows_l = [(1, datetime(2026, 3, 8, 1, 30, 0))]
+    rows_r = [
+        (10, datetime(2026, 3, 8, 1, 45, 0)),   # +900 s wall clock: in
+        (11, datetime(2026, 3, 8, 3, 0, 0)),    # +5400 s wall clock: out
+    ]
+    left = spark.createDataFrame(rows_l, "lid long, lts timestamp_ntz")
+    right = spark.createDataFrame(rows_r, "rid long, rts timestamp_ntz")
+
+    def run():
+        return {
+            (r["lid"], r["rid"])
+            for r in range_join(
+                left, right, "lts", "rts", 0.0, 5400.0
+            ).collect()
+        }
+
+    base = run()
+    assert base == {(1, 10)}
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert run() == base
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
