@@ -785,6 +785,18 @@ def _vector_search_sql(k: int, seed: int) -> str:
     """
 
 
+def q_pcm_audio_features(spark, sf_dir):
+    """REAL DSP on synthetic raw PCM (multimodal.pcm_features): rows-only
+    because DuckDB has no FFT — correctness is pinned by unit tests
+    against closed-form sine expectations."""
+    from polars_genson_spark.operators.multimodal import (
+        pcm_features,
+        synthesize_raw_media,
+    )
+
+    return pcm_features(synthesize_raw_media(spark, 64, seed=3))
+
+
 def q_psi_nchars(spark, sf_dir):
     """PSI drift of each source's n_chars distribution vs the pooled
     corpus (checks.psi_drift) — chi²/KS's production-monitoring sibling."""
@@ -1259,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_lsh": q_embedding_topk_lsh,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_features": q_multimodal_features,
+        "pcm_audio_features": q_pcm_audio_features,
         "corpus_verdicts": q_corpus_verdicts,
         "hll_uniqueness": q_hll_uniqueness,
     }
@@ -2122,6 +2135,7 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 199) t(i)
         """,
         # Intentionally rows-only (no SQL oracle), one line each:
+        # pcm_audio_features:   numpy FFT features — no SQL FFT in DuckDB
         # minhash_near_dupes:   signatures are xxhash64-permutations — engine-specific
         # simhash_fingerprints: 64-bit xxhash64 word hashes — engine-specific
         # simhash_near_pairs:   pairs derive from the engine-specific simhash bits

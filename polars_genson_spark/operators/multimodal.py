@@ -2,10 +2,13 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schema, partition-preserving mapInPandas, Arrow
-batch shapes, UDF signatures) is real and tested; the actual codec work is
-STUBBED — the container has no image/audio libraries — behind
-``decoder="fake"`` (deterministic features derived from the bytes) or
-``decoder="real"`` (raises NotImplementedError at the decode step).
+batch shapes, UDF signatures) is real and tested. RAW formats get REAL
+compute: ``pcm_features`` does actual DSP (RMS/ZCR/spectral centroid via
+numpy rfft) on int16 PCM, and ``resize_raw_gray`` really resamples raw
+grayscale pixel buffers — no codec library needed for raw data. Only
+COMPRESSED formats (jpeg/mp3/h264) remain stubbed behind
+``decoder="real"`` raising NotImplementedError, because those genuinely
+require PIL/ffmpeg, which this container lacks.
 """
 
 from __future__ import annotations
@@ -136,4 +139,165 @@ def sample_frames(
     )
     return df.where(F.col("meta.kind") == "video").select(
         F.col(id_col), frames.alias("frame_ts_ms")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real compute on RAW formats. Raw PCM and raw pixel buffers need no codec
+# library, so these paths do genuine vectorized DSP with numpy over Arrow
+# batches — the honest NotImplementedError above now covers ONLY compressed
+# formats (jpeg/mp3/h264), where an external codec is truly required.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_raw_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Raw-format media table: audio rows carry int16 little-endian PCM
+    (a per-id sine + deterministic noise), image rows carry a raw uint8
+    grayscale buffer (meta.width × meta.height, row-major gradient).
+    Generated inside mapInPandas — numpy per batch, nothing driver-side."""
+
+    base = spark.range(n_rows)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                if i % 2 == 0:  # audio: 0.5 s of 16 kHz PCM
+                    sr = 16_000
+                    n = sr // 2
+                    freq = 200.0 + (i % 20) * 100.0
+                    t = np.arange(n) / sr
+                    x = 0.5 * np.sin(2 * np.pi * freq * t)
+                    x = x + 0.001 * rng.standard_normal(n)
+                    pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+                    out.append(
+                        (
+                            f"m-{i:06d}",
+                            pcm.tobytes(),
+                            {
+                                "kind": "audio",
+                                "mime": "audio/L16",
+                                "width": None,
+                                "height": None,
+                                "duration_ms": 500,
+                            },
+                        )
+                    )
+                else:  # image: raw grayscale gradient + noise
+                    w, h = 64 + (i % 5) * 16, 48 + (i % 3) * 16
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = ((xx + yy) * 255 // (w + h - 2)).astype(np.uint8)
+                    out.append(
+                        (
+                            f"m-{i:06d}",
+                            img.tobytes(),
+                            {
+                                "kind": "image",
+                                "mime": "image/x-raw-gray",
+                                "width": w,
+                                "height": h,
+                                "duration_ms": None,
+                            },
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "media", "meta"])
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def pcm_features(
+    df: DataFrame, sample_rate: int = 16_000
+) -> DataFrame:
+    """REAL audio feature extraction on raw PCM rows: RMS energy,
+    zero-crossing rate, and spectral centroid (rfft) — vectorized numpy
+    over each Arrow batch, heavy axis = samples, not rows."""
+    out_schema = (
+        "media_id string, n_samples int, rms double, zcr double, "
+        "spectral_centroid double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["media"]):
+                x = (
+                    np.frombuffer(buf or b"", dtype="<i2").astype(np.float64)
+                    / 32768.0
+                )
+                n = int(x.size)
+                if n == 0:
+                    rows.append((mid, 0, 0.0, 0.0, 0.0))
+                    continue
+                rms = float(np.sqrt(np.mean(x * x)))
+                zcr = (
+                    float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:])))
+                    if n > 1
+                    else 0.0
+                )
+                # POWER spectrum: a magnitude-weighted centroid is pulled
+                # toward sr/4 by any broadband noise floor (4000 small
+                # bins outweigh one large one); squaring restores the
+                # perceptually meaningful dominant-frequency weighting
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+                denom = float(spec.sum())
+                cent = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+                rows.append(
+                    (mid, n, round(rms, 6), round(zcr, 6), round(cent, 3))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "rms", "zcr",
+                    "spectral_centroid",
+                ],
+            )
+
+    return df.where(F.col("meta.kind") == "audio").mapInPandas(
+        run, out_schema
+    )
+
+
+def resize_raw_gray(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbour resize of raw grayscale image rows (no PIL
+    needed for raw buffers): numpy fancy indexing per image, output is the
+    resized raw buffer with updated meta."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, buf, meta in zip(
+                pdf["media_id"], pdf["media"], pdf["meta"]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                img = np.frombuffer(buf or b"", dtype=np.uint8)
+                if img.size != w * h:
+                    raise ValueError(
+                        f"{mid}: buffer is {img.size} bytes, not raw "
+                        f"{w}x{h} grayscale — decode compressed formats "
+                        "first (decoder='real' path)"
+                    )
+                img = img.reshape(h, w)
+                yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                resized = img[yi][:, xi]
+                out.append(
+                    (
+                        mid,
+                        resized.tobytes(),
+                        {
+                            "kind": meta["kind"],
+                            "mime": meta["mime"],
+                            "width": out_w,
+                            "height": out_h,
+                            "duration_ms": meta["duration_ms"],
+                        },
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "media", "meta"])
+
+    return df.where(F.col("meta.kind") == "image").mapInPandas(
+        run, MEDIA_SCHEMA
     )

@@ -355,3 +355,62 @@ def test_unigram_logprob_oov_floor(spark):
     assert abs(out[1]["mean_nll"] - round(the_nll, 4)) < 1e-9
     assert abs(out[2]["mean_nll"] - round((the_nll + oov_nll) / 2, 4)) < 1e-4
     assert out[2]["mean_nll"] > out[1]["mean_nll"]
+
+
+def test_pcm_features_real_dsp(spark):
+    """Raw-PCM audio features are REAL signal processing: the spectral
+    centroid lands near the synthesized sine frequency, RMS near
+    amplitude/sqrt(2), zero-crossing rate near 2f/sr."""
+    from polars_genson_spark.operators.multimodal import (
+        pcm_features,
+        synthesize_raw_media,
+    )
+
+    media = synthesize_raw_media(spark, 8, seed=3)
+    feats = {r["media_id"]: r.asDict() for r in pcm_features(media).collect()}
+    assert len(feats) == 4  # ids 0,2,4,6 are audio
+    for i in (0, 2, 4, 6):
+        r = feats[f"m-{i:06d}"]
+        freq = 200.0 + (i % 20) * 100.0
+        assert r["n_samples"] == 8000
+        assert abs(r["rms"] - 0.5 / 2**0.5) < 0.01
+        # pure tone: centroid ≈ f (noise floor pulls it up slightly)
+        assert abs(r["spectral_centroid"] - freq) < freq * 0.25 + 50
+        assert abs(r["zcr"] - 2 * freq / 16000) < 0.02
+
+
+def test_resize_raw_gray_real_pixels(spark):
+    """Raw grayscale resize really resamples pixels: output buffer is
+    out_w*out_h bytes, corners of the gradient are preserved."""
+    import numpy as np
+
+    from polars_genson_spark.operators.multimodal import (
+        resize_raw_gray,
+        synthesize_raw_media,
+    )
+
+    media = synthesize_raw_media(spark, 4, seed=3)
+    out = {r["media_id"]: r for r in resize_raw_gray(media, 32, 24).collect()}
+    assert len(out) == 2  # ids 1,3 are images
+    for mid, r in out.items():
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 24
+        img = np.frombuffer(r["media"], dtype=np.uint8).reshape(24, 32)
+        assert img[0, 0] == 0              # gradient origin
+        assert img[-1, -1] > img[0, 0]     # gradient increases
+        col0 = img[:, 0]
+        assert (np.diff(col0.astype(int)) >= 0).all()  # monotone down column
+
+
+def test_compressed_decode_still_stubbed(spark):
+    """decoder='real' remains an honest NotImplementedError for
+    compressed formats."""
+    import pytest as _pytest
+
+    from polars_genson_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 3, seed=1)
+    with _pytest.raises(Exception, match="PIL/ffmpeg"):
+        extract_features(media, decoder="real").collect()
