@@ -785,6 +785,26 @@ def _vector_search_sql(k: int, seed: int) -> str:
     """
 
 
+def q_schema_drift_events(spark, sf_dir):
+    """Schema drift of events.props between calendar days
+    (incremental.schema_drift). The synthetic props are shape-stable, so
+    the CORRECT answer is 29 all-empty diff rows — the oracle checks the
+    day enumeration and the no-drift verdict, and pytest covers the
+    drifting case on synthetic multi-window JSON."""
+    from polars_genson_spark.operators.incremental import schema_drift
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = schema_drift(e, "props", "day")
+    return out.select(
+        F.col("window").alias("day"),
+        F.size("added").alias("n_added"),
+        F.size("removed").alias("n_removed"),
+        F.size("changed").alias("n_changed"),
+    )
+
+
 def q_pcm_audio_features(spark, sf_dir):
     """REAL DSP on synthetic raw PCM (multimodal.pcm_features): rows-only
     because DuckDB has no FFT — correctness is pinned by unit tests
@@ -1272,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "pcm_audio_features": q_pcm_audio_features,
+        "schema_drift_events": q_schema_drift_events,
         "corpus_verdicts": q_corpus_verdicts,
         "hll_uniqueness": q_hll_uniqueness,
     }
@@ -1391,6 +1412,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_words
             FROM w JOIN freq USING (word) CROSS JOIN total
             GROUP BY doc_id
+        """,
+        "schema_drift_events": """
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   0 AS n_added, 0 AS n_removed, 0 AS n_changed
+            FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
+            WHERE d > (SELECT min(date_trunc('day', ts)) FROM events)
         """,
         "psi_daily_events": """
             WITH b AS (

@@ -234,3 +234,46 @@ def infer_json_schema_by_group(
         "error string",
     )
     return out.withColumnRenamed("group", group_col)
+
+
+def schema_drift(
+    df: DataFrame,
+    column: str,
+    window_col: str,
+    config: InferenceConfig | None = None,
+) -> DataFrame:
+    """Field-level schema drift between consecutive windows: one merged
+    schema per window (the two-level summary fold — the shuffle carries
+    KB summaries, never documents), then adjacent windows' property maps
+    diff driver-side (schemas are KB rollups; |windows| rows total).
+
+    Returns one row per window AFTER the first:
+    (window, added, removed, changed) — field names that appeared,
+    vanished, or changed their inferred type vs the previous window.
+    The monitoring face of schema inference: a producer silently adding
+    a field or widening int→string shows up as a named diff, not a
+    downstream parse failure.
+    """
+    per = infer_json_schema_by_group(df, column, window_col, config)
+    rows = sorted(
+        (r[window_col], r["schema_json"]) for r in per.collect()
+    )
+    out = []
+    prev_props: dict | None = None
+    for w, sj in rows:
+        props = json.loads(sj).get("properties", {}) or {}
+        if prev_props is not None:
+            added = sorted(set(props) - set(prev_props))
+            removed = sorted(set(prev_props) - set(props))
+            changed = sorted(
+                k
+                for k in set(props) & set(prev_props)
+                if props[k] != prev_props[k]
+            )
+            out.append((str(w), added, removed, changed))
+        prev_props = props
+    schema = (
+        "window string, added array<string>, removed array<string>, "
+        "changed array<string>"
+    )
+    return df.sparkSession.createDataFrame(out, schema)

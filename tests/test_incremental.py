@@ -125,3 +125,24 @@ def test_infer_by_group_error_isolation(spark):
     assert out["ok"]["schema_json"] is not None
     assert "Invalid JSON" in out["bad"]["error"]
     assert out["bad"]["schema_json"] is None
+
+
+def test_schema_drift_detects_field_changes(spark):
+    """Fields appearing, vanishing, and changing type across windows are
+    named in the per-window diff; stable windows diff empty."""
+    from polars_genson_spark.operators.incremental import schema_drift
+
+    rows = (
+        [("d1", '{"a": 1}')] * 3
+        + [("d2", '{"a": 1, "b": "x"}')] * 3          # b added
+        + [("d3", '{"a": "s", "b": "x"}')] * 3        # a int->string
+        + [("d4", '{"b": "x"}')] * 3                  # a removed
+        + [("d5", '{"b": "x"}')] * 3                  # stable
+    )
+    df = spark.createDataFrame(rows, "w string, doc string")
+    out = {r["window"]: r.asDict() for r in schema_drift(df, "doc", "w").collect()}
+    assert set(out) == {"d2", "d3", "d4", "d5"}
+    assert out["d2"]["added"] == ["b"] and out["d2"]["changed"] == []
+    assert out["d3"]["changed"] == ["a"]
+    assert out["d4"]["removed"] == ["a"]
+    assert out["d5"] == {"window": "d5", "added": [], "removed": [], "changed": []}
