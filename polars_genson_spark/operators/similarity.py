@@ -16,6 +16,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lit_vec(vals):
+    """A double-array literal built in ONE py4j call (F.expr over a
+    generated SQL string) instead of one F.lit call per element — at 8
+    LSH tables x 4 planes x 64 dims the per-element form costs ~2000
+    py4j round trips and dominated DataFrame CONSTRUCTION (8 s before
+    execution even started). String round-trip via repr is bit-exact:
+    Spark's string->double cast is correctly rounded, so the literal
+    values are identical to F.lit(float(x)) and every oracle hash is
+    unchanged."""
+    inner = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals)
+    return F.expr(f"array({inner})")
+
+
 def _dot(a, b):
     # cast BEFORE multiplying: float32*float32 rounds to float32 first,
     # which both loses precision and diverges from any pure-double
@@ -65,7 +78,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k rows by cosine similarity to one query vector (broadcast as a
     literal array; a single narrow scan + TakeOrdered — no shuffle)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = _lit_vec(query)
     sim = cosine_similarity_col(F.col(vec_col), q)
     return (
         df.select(id_col, F.round(sim, 6).alias("cosine"))
@@ -134,18 +147,27 @@ def with_lsh_bucket(
     seed: int = 42,
 ) -> DataFrame:
     """Random-hyperplane LSH signature: bit p = sign(v · r_p). Vectors with
-    equal signatures fall in the same cosine-neighbourhood bucket."""
+    equal signatures fall in the same cosine-neighbourhood bucket.
+
+    The whole signature is ONE generated SQL expression (single py4j
+    call, single parse): per-plane `F.when(_dot(...))` chains cost ~2×
+    n_planes python-lambda→Catalyst conversions each, which dominated
+    DataFrame construction for multi-table tagging. The inner fold is
+    textually identical to `_dot` (zip_with then left-to-right add), so
+    every bucket bit — and every oracle hash — is unchanged."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(F.col(vec_col), lit_plane) > 0, F.lit(1)).otherwise(
-            F.lit(0)
-        )
-        bucket = bucket.bitwiseOR(
-            F.shiftleft(bit.cast("long"), p)
-        )
-    return df.withColumn(out_col, bucket)
+    planes2d = ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p) + ")"
+        for p in planes
+    )
+    sql = (
+        f"aggregate(sequence(1, {n_planes}), 0L, (acc, i) -> acc | "
+        "shiftleft(CASE WHEN aggregate(zip_with("
+        f"`{vec_col}`, element_at(array({planes2d}), i), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+        "(a, v) -> a + v) > 0 THEN 1L ELSE 0L END, i - 1))"
+    )
+    return df.withColumn(out_col, F.expr(sql))
 
 
 def _multi_table_tagged(
@@ -328,10 +350,7 @@ def _centroid_ranks(vec_col_expr, centroids: list[list[float]]):
     scored = F.array(
         *[
             F.struct(
-                _dot(
-                    vec_col_expr,
-                    F.array(*[F.lit(float(x)) for x in c]),
-                ).alias("score"),
+                _dot(vec_col_expr, _lit_vec(c)).alias("score"),
                 F.lit(i).alias("idx"),
             )
             for i, c in enumerate(centroids)
@@ -467,7 +486,7 @@ def semantic_dedup(
     best = F.element_at(ranks, 1)
     sims = F.array(
         *[
-            _dot(F.col("vec_norm"), F.array(*[F.lit(float(x)) for x in c]))
+            _dot(F.col("vec_norm"), _lit_vec(c))
             for c in normed_cents
         ]
     )
