@@ -202,8 +202,10 @@ def bloom_prefilter(
 def consistency_violations(
     df: DataFrame, cfg: ValidationConfig | None = None
 ) -> DataFrame:
-    """Rows violating the structural invariants: null doc_id/tokens/n_tok
-    or n_tok != size(tokens)."""
+    """Rows violating the structural invariants: null doc_id/tokens/n_tok,
+    n_tok != size(tokens), or any token id outside [0, vocab_size) —
+    the pre-tokenized corpus's referential integrity against its own
+    tokenizer vocabulary."""
     cfg = cfg or ValidationConfig()
     c = F.col
     reason = (
@@ -213,6 +215,13 @@ def consistency_violations(
         .when(
             c(cfg.n_tok_col) != F.size(c(cfg.tokens_col)),
             F.lit("n_tok_mismatch"),
+        )
+        .when(
+            F.exists(
+                c(cfg.tokens_col),
+                lambda t: (t < 0) | (t >= F.lit(cfg.vocab_size)),
+            ),
+            F.lit("token_out_of_range"),
         )
     )
     return (

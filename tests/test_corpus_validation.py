@@ -285,3 +285,21 @@ def test_psi_temporal_no_phantom_days(spark):
     # (jan 3) has no data; jan 5 does not exist
     assert set(out) == {"2026-01-02"}
     assert out["2026-01-02"] == 0.0  # identical distributions
+
+
+def test_token_out_of_range_flagged(spark):
+    """Tokens outside [0, vocab) are consistency violations — the corpus's
+    referential integrity against its own tokenizer vocabulary."""
+    from polars_genson_spark.operators.checks import consistency_violations
+
+    rows = [
+        ("a", [1, 2, 3], 3, "s"),
+        ("b", [1, -1, 3], 3, "s"),        # negative id
+        ("c", [1, 2, 50_257], 3, "s"),    # == vocab_size → out
+        ("d", [0, 50_256], 2, "s"),       # boundary-legal
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    out = {r["doc_id"]: r["reason"] for r in consistency_violations(df).collect()}
+    assert out == {"b": "token_out_of_range", "c": "token_out_of_range"}
