@@ -135,6 +135,45 @@ def main() -> None:
     q["schema_infer_events_props"](spark, sf_dir).count()
     infer_sec = time.perf_counter() - t0
 
+    # apples-to-apples vs the reference's OWN macro bench data (Wikidata
+    # labels.parquet, read-only) at 100x replication — only when the
+    # reference checkout is present (guarded: the driver may run bench
+    # in environments without /root/reference)
+    ref_labels = "/root/reference/bench/data/labels.parquet"
+    if os.path.exists(ref_labels):
+        import polars_genson_spark as pgs
+        from pyspark.sql import functions as F
+
+        labels = (
+            spark.read.parquet(ref_labels)
+            .withColumn("_r", F.explode(F.sequence(F.lit(1), F.lit(100))))
+            .drop("_r")
+            .repartition(int(cpus))
+            .persist()
+        )
+        n_labels = labels.count()
+        lcfg = pgs.InferenceConfig(wrap_root="labels")
+        t0 = time.perf_counter()
+        pgs.infer_json_schema(labels, "labels", lcfg)
+        infer_dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        (
+            pgs.normalise_json(labels, "labels", lcfg, decode=True)
+            .select(F.sum(F.length(F.to_json("labels"))))
+            .collect()
+        )
+        norm_dt = time.perf_counter() - t0
+        labels.unpersist()
+        timings["labels_infer_100x"] = round(infer_dt, 3)
+        timings["labels_normalise_100x"] = round(norm_dt, 3)
+        extra_labels = {
+            "labels_docs": n_labels,
+            "labels_infer_docs_per_sec": round(n_labels / infer_dt, 1),
+            "labels_normalise_docs_per_sec": round(n_labels / norm_dt, 1),
+        }
+    else:
+        extra_labels = {}
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_seconds",
@@ -142,6 +181,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        **extra_labels,
         "validated_rows": n_rows,
         "validated_rows_per_sec": round(n_rows / validate_sec, 1),
         "corpus_1m_rows_per_sec": round(n_big / big_sec, 1),
