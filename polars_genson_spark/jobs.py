@@ -327,6 +327,17 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--output", required=True, help="verdicts parquet dir")
     sv.add_argument("--checkpoint", required=True)
 
+    cp = sub.add_parser(
+        "compact",
+        help="compact a small-files parquet dataset to ~target-mb files",
+    )
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--target-mb", type=int, default=512)
+    cp.add_argument("--sort-by", default=None,
+                    help="optional column to sort within files (row-group "
+                         "min/max stats then prune scans on this key)")
+
     b = sub.add_parser("bench-one", help="one pinned throughput measurement")
     b.add_argument("--rows", type=int, required=True)
     b.add_argument("--cores", type=int, required=True)
@@ -380,6 +391,33 @@ def main(argv: list[str] | None = None) -> int:
             result = curate(docs, benchmark, cfg, embeddings=embeddings)
             result.chunks.write.mode("overwrite").parquet(args.output)
             print(json.dumps(result.summary()))
+            return 0
+        if args.cmd == "compact":
+            import glob
+
+            files = [
+                f for f in glob.glob(os.path.join(args.input, "*.parquet"))
+            ] or glob.glob(os.path.join(args.input, "**", "*.parquet"),
+                           recursive=True)
+            total_bytes = sum(os.path.getsize(f) for f in files)
+            n_out = max(1, round(total_bytes / (args.target_mb * 1024 * 1024)))
+            df = spark.read.parquet(args.input)
+            # repartition (not coalesce): coalesce skips the exchange but
+            # chains upstream partitioning into the write and can leave
+            # skewed file sizes; compaction is IO-bound anyway
+            out = df.repartition(n_out)
+            if args.sort_by:
+                out = out.sortWithinPartitions(args.sort_by)
+            out.write.mode("overwrite").parquet(args.output)
+            n_files_out = len(
+                glob.glob(os.path.join(args.output, "*.parquet"))
+            )
+            print(json.dumps({
+                "files_in": len(files),
+                "bytes_in": total_bytes,
+                "files_out": n_files_out,
+                "target_mb": args.target_mb,
+            }))
             return 0
         if args.cmd == "stream-validate":
             from .config import ValidationConfig

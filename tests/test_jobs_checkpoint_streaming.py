@@ -316,3 +316,28 @@ def test_stream_validate_cli_resumes(tmp_path):
         capture_output=True, text=True, cwd="/root/repo", env=env,
     )
     assert json.loads(r2.stdout.strip().splitlines()[-1])["batches"] == []
+
+
+def test_compact_cli_reduces_file_count(spark, tmp_path):
+    """jobs compact merges a many-small-files dataset into few files and
+    preserves every row."""
+    import json
+    import subprocess
+    import sys
+
+    src_dir = str(tmp_path / "small")
+    out_dir = str(tmp_path / "compacted")
+    corpus = generate_corpus(spark, 5000, seed=21)
+    corpus.repartition(40).write.mode("overwrite").parquet(src_dir)
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "compact",
+         "--input", src_dir, "--output", out_dir, "--target-mb", "512",
+         "--sort-by", "doc_id"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["files_in"] >= 40
+    assert stats["files_out"] < stats["files_in"] / 10
+    assert spark.read.parquet(out_dir).count() == 5000
