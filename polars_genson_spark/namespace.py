@@ -40,13 +40,14 @@ class GensonNamespace:
         """Reference namespace methods take config knobs as kwargs
         (map_threshold=..., unify_maps=..., wrap_root=...); fold them
         into an InferenceConfig, passing through an explicit config=.
-        Reference-only diagnostics (debug/profile/verbosity/
-        merge_schemas) are accepted and ignored, like the CLI."""
+        Reference-only diagnostics (debug/profile/verbosity) are
+        accepted and ignored, like the CLI; merge_schemas is handled by
+        the callers (it changes the output shape)."""
         from .config import InferenceConfig
 
         if "config" in kwargs:
             return kwargs.pop("config")
-        for diag in ("debug", "profile", "verbosity", "merge_schemas"):
+        for diag in ("debug", "profile", "verbosity"):
             kwargs.pop(diag, None)
         cfg_fields = {f for f in InferenceConfig.__dataclass_fields__}
         cfg_kw = {k: kwargs.pop(k) for k in list(kwargs) if k in cfg_fields}
@@ -59,19 +60,33 @@ class GensonNamespace:
         if unknown:
             raise TypeError(f"unknown keyword argument(s): {unknown}")
 
-    def infer_json_schema(self, column: str, **kwargs: Any) -> dict:
+    def infer_json_schema(self, column: str, **kwargs: Any):
         """Merged JSON Schema of a JSON-string column (reference
-        ``df.genson.infer_json_schema``)."""
-        from .operators.infer import infer_json_schema
+        ``df.genson.infer_json_schema``). ``merge_schemas=False`` is the
+        reference's per-row mode — Spark-idiomatically that returns the
+        per-row schema DataFrame (collecting a row-per-doc python list
+        would not survive corpus scale)."""
+        from .operators.infer import (
+            infer_json_schema,
+            infer_json_schema_per_row,
+        )
 
+        merge = kwargs.pop("merge_schemas", True)
         cfg = self._cfg(kwargs)
         self._reject_unknown(kwargs)
+        if not merge:
+            return infer_json_schema_per_row(self._df, column, cfg)
         return infer_json_schema(self._df, column, cfg).schema
 
     def infer_spark_schema(self, column: str, **kwargs: Any):
         """StructType (the reference's ``infer_polars_schema``)."""
         from .operators.infer import infer_spark_schema
 
+        if kwargs.pop("merge_schemas", True) is False:
+            raise ValueError(
+                "merge_schemas=False: use infer_json_schema(..., "
+                "merge_schemas=False) for the per-row schema DataFrame"
+            )
         cfg = self._cfg(kwargs)
         self._reject_unknown(kwargs)
         return infer_spark_schema(self._df, column, cfg)

@@ -199,16 +199,12 @@ def bloom_prefilter(
 # ---------------------------------------------------------------------------
 
 
-def consistency_violations(
-    df: DataFrame, cfg: ValidationConfig | None = None
-) -> DataFrame:
-    """Rows violating the structural invariants: null doc_id/tokens/n_tok,
-    n_tok != size(tokens), or any token id outside [0, vocab_size) —
-    the pre-tokenized corpus's referential integrity against its own
-    tokenizer vocabulary."""
-    cfg = cfg or ValidationConfig()
+def consistency_reason_expr(cfg: ValidationConfig):
+    """The ONE consistency when-chain, shared by the batch and streaming
+    paths so the two can never diverge (a copy-pasted chain once missed
+    token_out_of_range on the streaming side)."""
     c = F.col
-    reason = (
+    return (
         F.when(c(cfg.doc_id_col).isNull(), F.lit("null_doc_id"))
         .when(c(cfg.tokens_col).isNull(), F.lit("null_tokens"))
         .when(c(cfg.n_tok_col).isNull(), F.lit("null_n_tok"))
@@ -224,6 +220,18 @@ def consistency_violations(
             F.lit("token_out_of_range"),
         )
     )
+
+
+def consistency_violations(
+    df: DataFrame, cfg: ValidationConfig | None = None
+) -> DataFrame:
+    """Rows violating the structural invariants: null doc_id/tokens/n_tok,
+    n_tok != size(tokens), or any token id outside [0, vocab_size) —
+    the pre-tokenized corpus's referential integrity against its own
+    tokenizer vocabulary."""
+    cfg = cfg or ValidationConfig()
+    c = F.col
+    reason = consistency_reason_expr(cfg)
     return (
         df.withColumn("reason", reason)
         .where(F.col("reason").isNotNull())
@@ -357,6 +365,9 @@ def psi_drift(
         F.col(group_col).alias("grp"),
         F.floor(F.col(value_col) / F.lit(bucket_width)).alias("bucket"),
     )
+    # persisted intermediate is the (group, bucket) rollup — KB-sized and
+    # bounded by |groups|x|buckets| regardless of corpus size, so a
+    # long-lived session accumulates negligible, evictable cache
     counts = b.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("c"))
     counts = counts.persist()
     totals = counts.groupBy("grp").agg(F.sum("c").alias("n_g"))
@@ -406,6 +417,8 @@ def psi_temporal(
         day.alias("day"),
         F.floor(F.col(value_col) / F.lit(bucket_width)).alias("bucket"),
     )
+    # rollup-sized persist (|days|x|buckets|), same bounded-cache note
+    # as psi_drift
     counts = b.groupBy("day", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     ).persist()

@@ -261,6 +261,13 @@ def schema_drift(
     out = []
     prev_props: dict | None = None
     for w, sj in rows:
+        if sj is None:
+            # this window's inference errored (by_group isolates per-group
+            # failures as schema_json=None) — surface it as an all-null
+            # diff row rather than crashing, and keep the last GOOD
+            # window as the baseline for the next good one
+            out.append((str(w), None, None, None))
+            continue
         props = json.loads(sj).get("properties", {}) or {}
         if prev_props is not None:
             added = sorted(set(props) - set(prev_props))

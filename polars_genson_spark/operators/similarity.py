@@ -25,7 +25,16 @@ def _lit_vec(vals):
     Spark's string->double cast is correctly rounded, so the literal
     values are identical to F.lit(float(x)) and every oracle hash is
     unchanged."""
-    inner = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals)
+    def spell(x):
+        x = float(x)
+        if math.isnan(x):
+            return "'NaN'"
+        if math.isinf(x):
+            # python repr 'inf' is NOT castable; Spark needs 'Infinity'
+            return "'Infinity'" if x > 0 else "'-Infinity'"
+        return f"'{x!r}'"
+
+    inner = ",".join(f"CAST({spell(x)} AS DOUBLE)" for x in vals)
     return F.expr(f"array({inner})")
 
 
@@ -464,12 +473,19 @@ def semantic_dedup(
     """
     # zip_with pads length mismatches with nulls, which would null every
     # centroid similarity and make the discard predicate silently false —
-    # a no-op dedup that LOOKS like it ran. Fail loudly instead (one
-    # first() on a narrow projection, negligible next to the self-join).
-    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is not None and probe["d"] != dim:
+    # a no-op dedup that LOOKS like it ran. Fail loudly instead: one
+    # narrow-column aggregate over ALL rows (a .first() probe validated
+    # only row 1 and choked on a leading null vector), negligible next
+    # to the self-join this op runs anyway. Null vectors are allowed —
+    # they can never match anything and survive with null centroid_sim.
+    probe = df.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if probe["lo"] is not None and not (probe["lo"] == probe["hi"] == dim):
         raise ValueError(
-            f"dim={dim} but {vec_col!r} vectors have length {probe['d']}"
+            f"dim={dim} but {vec_col!r} vector lengths span "
+            f"[{probe['lo']}, {probe['hi']}]"
         )
     if centroids is None:
         centroids = _hyperplanes(dim, n_clusters, seed)

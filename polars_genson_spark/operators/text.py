@@ -364,14 +364,17 @@ def unigram_logprob(
     probability of its words under the corpus unigram distribution
     (lower = more typical text; high values flag gibberish/outliers).
 
-    One corpus scan: the exploded words view is persisted, the unigram
-    model is its (word, count) rollup (reusable across runs at scale —
-    persist/write it), the grand total derives from that rollup for free,
-    and scoring joins words↔model on the word key WITHOUT a broadcast
-    hint — a web-scale vocabulary is far beyond broadcast limits, and the
-    shuffle join only ever carries the rollup plus (id, word) pairs.
-    Out-of-vocabulary words (below ``min_count``) score as count 1/2
-    (Laplace-ish floor), keeping the expression total and deterministic."""
+    The unigram model is the (word, count) rollup — the ONLY persisted
+    intermediate (vocabulary-sized, reusable across runs at scale:
+    persist/write it); the grand total derives from it for free. Scoring
+    re-scans the corpus once and joins words↔model on the word key
+    WITHOUT a broadcast hint — a web-scale vocabulary is far beyond
+    broadcast limits, and the shuffle join only ever carries the rollup
+    plus (id, word) pairs. (Persisting the exploded words view instead
+    would pin a corpus-token-sized cache per call — the rollup is the
+    right thing to keep.) Out-of-vocabulary words (below ``min_count``)
+    score as count 1/2 (Laplace-ish floor), keeping the expression total
+    and deterministic."""
     words = df.select(
         F.col(id_col),
         F.explode(
@@ -380,8 +383,8 @@ def unigram_logprob(
                 " ",
             )
         ).alias("word"),
-    ).where(F.col("word") != "").persist()
-    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    ).where(F.col("word") != "")
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c")).persist()
     # grand total from the vocabulary-sized rollup, not a second scan
     total = wc.agg(F.sum("c")).first()[0] or 1
     freq = wc.where(F.col("c") >= min_count)

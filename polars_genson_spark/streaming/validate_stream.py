@@ -56,16 +56,9 @@ def stream_consistency_violations(
     stream: DataFrame, cfg: ValidationConfig | None = None
 ) -> DataFrame:
     cfg = cfg or ValidationConfig()
-    c = F.col
-    reason = (
-        F.when(c(cfg.doc_id_col).isNull(), F.lit("null_doc_id"))
-        .when(c(cfg.tokens_col).isNull(), F.lit("null_tokens"))
-        .when(c(cfg.n_tok_col).isNull(), F.lit("null_n_tok"))
-        .when(
-            c(cfg.n_tok_col) != F.size(c(cfg.tokens_col)),
-            F.lit("n_tok_mismatch"),
-        )
-    )
+    from ..operators.checks import consistency_reason_expr
+
+    reason = consistency_reason_expr(cfg)  # SHARED with the batch path
     return (
         stream.withColumn("reason", reason)
         .where(F.col("reason").isNotNull())

@@ -303,3 +303,32 @@ def test_token_out_of_range_flagged(spark):
     )
     out = {r["doc_id"]: r["reason"] for r in consistency_violations(df).collect()}
     assert out == {"b": "token_out_of_range", "c": "token_out_of_range"}
+
+
+def test_stream_and_batch_consistency_share_reasons(spark, tmp_path):
+    """The streaming consistency check uses the SAME reason chain as the
+    batch path — token_out_of_range included (code-review finding r2-2)."""
+    import os as _os
+
+    from polars_genson_spark.streaming.validate_stream import (
+        read_corpus_stream,
+        stream_consistency_violations,
+    )
+
+    in_dir = str(tmp_path / "oor")
+    _os.makedirs(in_dir, exist_ok=True)
+    rows = [("a", [1, 2], 2, "s"), ("b", [1, 99_999_999], 2, "s")]
+    spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    out = stream_consistency_violations(read_corpus_stream(spark, in_dir))
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("oor_check").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["doc_id"]: r["reason"]
+        for r in spark.sql("SELECT * FROM oor_check").collect()
+    }
+    assert got == {"b": "token_out_of_range"}

@@ -146,3 +146,21 @@ def test_schema_drift_detects_field_changes(spark):
     assert out["d3"]["changed"] == ["a"]
     assert out["d4"]["removed"] == ["a"]
     assert out["d5"] == {"window": "d5", "added": [], "removed": [], "changed": []}
+
+
+def test_schema_drift_survives_error_window(spark):
+    """A window whose inference errored (invalid JSON) becomes an
+    all-null diff row; later good windows diff against the last GOOD
+    baseline (code-review finding r2-2)."""
+    from polars_genson_spark.operators.incremental import schema_drift
+
+    rows = (
+        [("d1", '{"a": 1}')] * 2
+        + [("d2", "not json at all {{{")] * 2          # errors
+        + [("d3", '{"a": 1, "b": 2}')] * 2             # vs d1: b added
+    )
+    df = spark.createDataFrame(rows, "w string, doc string")
+    out = {r["window"]: r.asDict() for r in schema_drift(df, "doc", "w").collect()}
+    assert set(out) == {"d2", "d3"}
+    assert out["d2"]["added"] is None and out["d2"]["changed"] is None
+    assert out["d3"]["added"] == ["b"]

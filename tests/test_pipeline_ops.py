@@ -414,3 +414,60 @@ def test_compressed_decode_still_stubbed(spark):
     media = synthesize_media(spark, 3, seed=1)
     with _pytest.raises(Exception, match="PIL/ffmpeg"):
         extract_features(media, decoder="real").collect()
+
+
+def test_lit_vec_nonfinite_spellings(spark):
+    """inf/nan query components survive the one-call literal builder
+    (python repr 'inf' is not castable in Spark; 'Infinity' is)."""
+    from polars_genson_spark.operators.similarity import _lit_vec
+
+    row = spark.range(1).select(_lit_vec([1.0, float("inf"), float("-inf"), float("nan")]).alias("v")).first()
+    import math as _m
+
+    assert row["v"][0] == 1.0
+    assert _m.isinf(row["v"][1]) and row["v"][1] > 0
+    assert _m.isinf(row["v"][2]) and row["v"][2] < 0
+    assert _m.isnan(row["v"][3])
+
+
+def test_semantic_dedup_probe_null_and_tail_mismatch(spark):
+    """The dim probe validates ALL rows (not just the first) and ignores
+    null vectors (code-review finding r2-2)."""
+    import pytest as _pytest
+
+    from polars_genson_spark.operators.similarity import semantic_dedup
+
+    # null first row + valid rest: must NOT raise
+    ok = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(
+        ok, dim=2, centroids=[[1.0, 0.0], [0.0, 1.0]], cache_entries=False
+    )
+    assert out.count() == 3  # null vector survives with null centroid_sim
+    # valid first row + short later row: MUST raise
+    bad = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="lengths span"):
+        semantic_dedup(
+            bad, dim=2, centroids=[[1.0, 0.0]], cache_entries=False
+        )
+
+
+def test_namespace_merge_schemas_per_row(spark):
+    """df.genson.infer_json_schema(merge_schemas=False) returns the
+    per-row schema DataFrame, not a silently merged schema."""
+    import polars_genson_spark  # noqa: F401
+
+    df = spark.createDataFrame([('{"a":1}',), ('{"b":"x"}',)], "j string")
+    out = df.genson.infer_json_schema("j", merge_schemas=False)
+    rows = out.collect()
+    assert len(rows) == 2
+    schemas = {r["schema"] for r in rows}
+    assert len(schemas) == 2  # two different per-row schemas
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merge_schemas"):
+        df.genson.infer_spark_schema("j", merge_schemas=False)
