@@ -817,6 +817,14 @@ def q_pcm_audio_features(spark, sf_dir):
     return pcm_features(synthesize_raw_media(spark, 64, seed=3))
 
 
+def q_skew_orders_custkey(spark, sf_dir):
+    """Skew diagnosis on the orders→customer join key (stats.skew_report):
+    top-10 heaviest custkeys, share, and ratio vs a uniform key."""
+    from polars_genson_spark.operators.stats import skew_report
+
+    return skew_report(_t(spark, sf_dir, "orders"), "o_custkey", top_k=10)
+
+
 def q_psi_nchars(spark, sf_dir):
     """PSI drift of each source's n_chars distribution vs the pooled
     corpus (checks.psi_drift) — chi²/KS's production-monitoring sibling."""
@@ -1253,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_n_tok_corpus": q_hist_n_tok_corpus,
         "drift_ks_nchars": q_drift_ks_nchars,
         "psi_nchars": q_psi_nchars,
+        "skew_orders_custkey": q_skew_orders_custkey,
         "psi_daily_events": q_psi_daily_events,
         # training-data pipeline ops
         "dedup_exact_text": q_dedup_exact_text,
@@ -1454,6 +1463,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY day
             HAVING max(CASE WHEN q IS NOT NULL THEN 1 ELSE 0 END) = 1
                AND day IN (SELECT day FROM totals)
+        """,
+        "skew_orders_custkey": """
+            WITH counts AS (
+                SELECT o_custkey AS key, count(*) AS cnt
+                FROM orders GROUP BY 1
+            ),
+            totals AS (
+                SELECT sum(cnt) AS total, count(*) AS n_keys FROM counts
+            )
+            SELECT rank, key, cnt, share, skew_ratio FROM (
+                SELECT row_number() OVER (ORDER BY cnt DESC, key) AS rank,
+                       CAST(key AS VARCHAR) AS key, cnt,
+                       round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+                       round(CAST(cnt AS DOUBLE) * n_keys / total, 4)
+                           AS skew_ratio
+                FROM counts CROSS JOIN totals
+            ) WHERE rank <= 10
         """,
         "psi_nchars": """
             WITH b AS (

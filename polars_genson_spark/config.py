@@ -97,6 +97,10 @@ class ValidationConfig:
     # parallelism; pays the Arrow transfer of the tokens column).
     hist_impl: str = "jvm"
     vocab_size: int = 50257
+    # sequence-length bounds: a doc longer than the model's context (or
+    # shorter than min) is a consistency violation. None/0 = unchecked.
+    max_seq_len: int | None = None
+    min_seq_len: int = 0
     drift_alpha: float = 0.01  # chi-square p-value threshold
     ks_threshold: float = 0.15  # KS D-statistic threshold
     max_null_rate: float = 0.0  # any null doc_id/tokens fails the partition

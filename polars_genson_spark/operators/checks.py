@@ -219,6 +219,15 @@ def consistency_reason_expr(cfg: ValidationConfig):
             ),
             F.lit("token_out_of_range"),
         )
+        .when(
+            c(cfg.n_tok_col) < F.lit(cfg.min_seq_len),
+            F.lit("seq_too_short"),
+        )
+        .when(
+            F.lit(cfg.max_seq_len is not None)
+            & (c(cfg.n_tok_col) > F.lit(cfg.max_seq_len or 0)),
+            F.lit("seq_len_exceeded"),
+        )
     )
 
 

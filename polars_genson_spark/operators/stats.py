@@ -167,3 +167,44 @@ def token_id_histogram(
     return partials.groupBy(src_col, "bucket").agg(
         F.sum("cnt").alias("cnt")
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Skew diagnosis for a prospective shuffle key: the top-k heaviest
+    key values with their share of all rows and the ratio to a perfectly
+    uniform key (share × distinct-keys). A ratio ≫ 1 on a planned
+    groupBy/join key says "salt this" BEFORE the job stalls on one
+    straggler task — the measurement half of the salting story.
+
+    One count shuffle on the key; the ranking window runs on the
+    |distinct keys| rollup. HLL estimates the distinct count (exact
+    cardinality is not needed for a diagnosis ratio).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "rank",
+            F.col("key").cast("string").alias("key"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("n_keys") / F.col("total"), 4
+            ).alias("skew_ratio"),
+        )
+    )

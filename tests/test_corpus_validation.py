@@ -332,3 +332,23 @@ def test_stream_and_batch_consistency_share_reasons(spark, tmp_path):
         for r in spark.sql("SELECT * FROM oor_check").collect()
     }
     assert got == {"b": "token_out_of_range"}
+
+
+def test_seq_len_bounds_checked(spark):
+    """max/min sequence length are consistency violations when configured;
+    the default config leaves them unchecked (verdict stability)."""
+    from polars_genson_spark.operators.checks import consistency_violations
+
+    rows = [
+        ("a", list(range(5)), 5, "s"),
+        ("b", list(range(600)), 600, "s"),
+        ("c", [], 0, "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    default = consistency_violations(df).collect()
+    assert default == []  # unchecked by default
+    cfg = ValidationConfig(max_seq_len=512, min_seq_len=1)
+    out = {r["doc_id"]: r["reason"] for r in consistency_violations(df, cfg).collect()}
+    assert out == {"b": "seq_len_exceeded", "c": "seq_too_short"}
