@@ -287,6 +287,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--allowed", default=None)
     v.add_argument("--output", required=True)
     v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--max-seq-len", type=int, default=None,
+                   help="flag sequences longer than the model context")
+    v.add_argument("--min-seq-len", type=int, default=0)
+    v.add_argument("--vocab-size", type=int, default=50257)
 
     g = sub.add_parser("generate", help="write a synthetic corpus")
     g.add_argument("--output", required=True)
@@ -466,11 +470,18 @@ def main(argv: list[str] | None = None) -> int:
                 if args.allowed
                 else allowed_sources_df(spark)
             )
+            from .config import ValidationConfig as _VC
+
             result = run_validation(
                 spark,
                 corpus,
                 allowed,
                 args.output,
+                cfg=_VC(
+                    max_seq_len=args.max_seq_len,
+                    min_seq_len=args.min_seq_len,
+                    vocab_size=args.vocab_size,
+                ),
                 resume=not args.no_resume,
             )
             print(json.dumps({k: v for k, v in result.items() if k != "partitions"}))

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import ValidationConfig
-from .checks import drift_from_histogram
+from .checks import consistency_reason_expr, drift_from_histogram
 from .stats import token_id_histogram, token_length_histogram
 
 
@@ -80,15 +80,10 @@ def validate_corpus(
     # A row may violate both checks; array+explode emits one violation row
     # per violated check, matching the per-check union semantics without a
     # second scan of the corpus.
-    cons_reason = (
-        F.when(c(cfg.doc_id_col).isNull(), F.lit("null_doc_id"))
-        .when(c(cfg.tokens_col).isNull(), F.lit("null_tokens"))
-        .when(c(cfg.n_tok_col).isNull(), F.lit("null_n_tok"))
-        .when(
-            c(cfg.n_tok_col) != F.size(c(cfg.tokens_col)),
-            F.lit("n_tok_mismatch"),
-        )
-    )
+    # the ONE shared reason chain (checks.consistency_reason_expr): a
+    # third inline copy here once silently missed the token-range and
+    # seq-length checks that the batch/stream paths gained
+    cons_reason = consistency_reason_expr(cfg)
     marked = df
     if check_ref:
         marker = allowed_sources.select(
