@@ -817,6 +817,43 @@ def q_pcm_audio_features(spark, sf_dir):
     return pcm_features(synthesize_raw_media(spark, 64, seed=3))
 
 
+def q_quality_lr_scores(spark, sf_dir):
+    """Learned quality filter scoring (quality_model.score_quality):
+    codegen sigmoid over cheap text features with PINNED weights (the
+    train half runs on a labeled sample offline — see
+    test_quality_classifier_train_and_score; scoring ships only the
+    weight literals, which is what makes it SQL-oracle-able)."""
+    from polars_genson_spark.operators.quality_model import score_quality
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    feats = d.select(
+        "doc_id",
+        F.size(words).cast("double").alias("n_words"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        F.size(F.array_intersect(F.array_distinct(words), sw))
+        .cast("double")
+        .alias("stop_hits"),
+    )
+    return score_quality(
+        feats,
+        QUALITY_LR_WEIGHTS,
+        ["n_words", "punct_ratio", "stop_hits"],
+    ).select("doc_id", "quality_prob")
+
+
+# pinned offline-trained weights: [intercept, w_n_words, w_punct_ratio,
+# w_stop_hits] — stored like a manifest entry would store them
+QUALITY_LR_WEIGHTS = [-2.0, 0.05, -8.0, 0.3]
+
+
 def q_skew_orders_custkey(spark, sf_dir):
     """Skew diagnosis on the orders→customer join key (stats.skew_report):
     top-10 heaviest custkeys, share, and ratio vs a uniform key."""
@@ -1262,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks_nchars": q_drift_ks_nchars,
         "psi_nchars": q_psi_nchars,
         "skew_orders_custkey": q_skew_orders_custkey,
+        "quality_lr_scores": q_quality_lr_scores,
         "psi_daily_events": q_psi_daily_events,
         # training-data pipeline ops
         "dedup_exact_text": q_dedup_exact_text,
@@ -1463,6 +1501,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY day
             HAVING max(CASE WHEN q IS NOT NULL THEN 1 ELSE 0 END) = 1
                AND day IN (SELECT day FROM totals)
+        """,
+        "quality_lr_scores": """
+            WITH feats AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(regexp_replace(
+                           lower(text), '\\s+', ' ', 'g')), ' '))
+                           AS DOUBLE) AS n_words,
+                       (length(text) - length(regexp_replace(text,
+                           '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
+                           AS punct_ratio,
+                       CAST(len(list_intersect(
+                           list_distinct(string_split_regex(trim(
+                               regexp_replace(lower(text), '\\s+', ' ',
+                               'g')), ' ')),
+                           ['the', 'of', 'and', 'to', 'in', 'is', 'that',
+                            'it', 'was', 'for'])) AS DOUBLE) AS stop_hits
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(-2.0 + 0.05 * n_words
+                       + -8.0 * punct_ratio + 0.3 * stop_hits))), 6)
+                       AS quality_prob
+            FROM feats
         """,
         "skew_orders_custkey": """
             WITH counts AS (

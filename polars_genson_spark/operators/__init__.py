@@ -3,7 +3,7 @@
 
 _SUBMODULES = (
     "checks", "decontaminate", "dedup", "incremental", "infer",
-    "multimodal", "normalise_op", "relational", "sample", "similarity",
+    "multimodal", "normalise_op", "quality_model", "relational", "sample", "similarity",
     "stats", "text", "verdicts",
 )
 

@@ -479,3 +479,19 @@ def near_dup_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def minhash_recall_curve(
+    num_perm: int, bands: int, thresholds: list[float] | None = None
+) -> list[tuple[float, float]]:
+    """Candidate probability of the banded MinHash scheme at each Jaccard
+    similarity: P(candidate | J=s) = 1 - (1 - s^r)^b with r = num_perm //
+    bands. The planning half of near-dup dedup: pick (num_perm, bands) so
+    the curve's S-bend sits at your target threshold ((1/b)^(1/r) is the
+    approximate inflection) BEFORE burning a cluster pass on the wrong
+    parameters. Pure arithmetic — runs on the driver, costs nothing."""
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    r = num_perm // bands
+    ts = thresholds or [round(0.05 * i, 2) for i in range(1, 20)]
+    return [(t, round(1.0 - (1.0 - t**r) ** bands, 6)) for t in ts]

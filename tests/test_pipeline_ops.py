@@ -471,3 +471,60 @@ def test_namespace_merge_schemas_per_row(spark):
 
     with _pytest.raises(ValueError, match="merge_schemas"):
         df.genson.infer_spark_schema("j", merge_schemas=False)
+
+
+def test_quality_classifier_train_and_score(spark):
+    """LR quality filter: trains on a separable labeled sample (high
+    AUC), and the codegen scorer agrees with MLlib's own predictions."""
+    from polars_genson_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from polars_genson_spark.operators.text import with_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    feats = with_quality(docs).select(
+        "doc_id", "n_words", "punct_ratio", "stopword_ratio"
+    )
+    # planted separable labels: long docs are "good"
+    labeled = feats.withColumn(
+        "label", (F.col("n_words") > 40).cast("double")
+    )
+    cols = ["n_words", "punct_ratio", "stopword_ratio"]
+    w = train_quality_classifier(labeled.limit(400), "label", cols)
+    assert len(w) == 4 and all(abs(x) < 1e6 for x in w)
+
+    scored = score_quality(labeled, w, cols)
+    rows = scored.select("label", "quality_prob").collect()
+    # AUC by rank comparison (small sample, exact)
+    pos = sorted(r["quality_prob"] for r in rows if r["label"] == 1.0)
+    neg = sorted(r["quality_prob"] for r in rows if r["label"] == 0.0)
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, p) for p in pos)
+    auc = wins / (len(pos) * len(neg))
+    assert auc > 0.95, auc
+
+    with pytest.raises(ValueError, match="weights"):
+        score_quality(labeled, [0.1, 0.2], cols)
+
+
+def test_minhash_recall_curve_properties():
+    """The banded-LSH planning curve is monotone, ~0 far below and ~1 far
+    above the (1/b)^(1/r) inflection, and rejects non-dividing bands."""
+    from polars_genson_spark.operators.dedup import minhash_recall_curve
+
+    curve = dict(minhash_recall_curve(32, 16))
+    # r=2, b=16 is deliberately permissive: inflection (1/16)^(1/2)=0.25
+    assert curve[0.1] < 0.2
+    assert curve[0.9] > 0.999
+    # a steeper scheme (r=8, b=4) suppresses low-similarity candidates
+    steep = dict(minhash_recall_curve(32, 4))
+    assert steep[0.3] < 0.001 and steep[0.9] > 0.8
+    assert steep[0.1] < curve[0.1]
+    vals = [p for _, p in sorted(minhash_recall_curve(32, 16))]
+    assert vals == sorted(vals)  # monotone in similarity
+    # inflection ~ (1/16)^(1/2) = 0.25: well below 0.5 -> permissive scheme
+    assert curve[0.3] > 0.5
+    with pytest.raises(ValueError, match="divide"):
+        minhash_recall_curve(32, 10)
