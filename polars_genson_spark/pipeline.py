@@ -47,6 +47,10 @@ class CurateConfig:
     # quality gate
     max_punct_ratio: float = 0.3
     min_chars: int = 10
+    # learned quality filter (quality_model.score_quality): weights =
+    # [intercept, w_n_words, w_punct_ratio, w_stopword_ratio]; None = off
+    quality_lr_weights: list[float] | None = None
+    min_quality_prob: float = 0.5
     # sampling (None = keep everything)
     sample_rates: dict[str, tuple[int, int]] | None = None
     default_rate: tuple[int, int] = (1, 1)
@@ -179,15 +183,22 @@ def curate(
             "decontaminated",
         )
 
-    # 4. quality gate (pure codegen filters)
+    # 4. quality gate (pure codegen filters; optionally a learned LR
+    #    score over the same features — still zero Python on the rows)
     q = with_quality(cur, cfg.text_col)
-    cur = stage(
-        q.where(
-            (F.col("punct_ratio") <= cfg.max_punct_ratio)
-            & (F.length(cfg.text_col) >= cfg.min_chars)
-        ).select(*docs.columns),
-        "quality",
+    keep = (F.col("punct_ratio") <= cfg.max_punct_ratio) & (
+        F.length(cfg.text_col) >= cfg.min_chars
     )
+    if cfg.quality_lr_weights is not None:
+        from .operators.quality_model import score_quality
+
+        q = score_quality(
+            q,
+            cfg.quality_lr_weights,
+            ["n_words", "punct_ratio", "stopword_ratio"],
+        )
+        keep = keep & (F.col("quality_prob") >= cfg.min_quality_prob)
+    cur = stage(q.where(keep).select(*docs.columns), "quality")
 
     # 5. stratified sampling
     if cfg.sample_rates is not None:

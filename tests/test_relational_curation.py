@@ -492,3 +492,26 @@ def test_range_join_ntz_dst_safe(spark):
         assert run() == base
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_curate_learned_quality_stage(spark):
+    """quality_lr_weights engages the learned filter inside the quality
+    stage; a hostile weight vector drops everything, proving it gates."""
+    from polars_genson_spark.pipeline import CurateConfig, curate
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .where(F.col("doc_id") < 100)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    )
+    base = curate(docs, cfg=CurateConfig(near_dup=False))
+    hostile = curate(
+        docs,
+        cfg=CurateConfig(
+            near_dup=False,
+            quality_lr_weights=[-100.0, 0.0, 0.0, 0.0],  # sigmoid ~ 0
+            min_quality_prob=0.5,
+        ),
+    )
+    assert base.stage_counts["quality"] > 0
+    assert hostile.stage_counts["quality"] == 0
