@@ -837,7 +837,11 @@ def q_quality_lr_scores(spark, sf_dir):
     feats = d.select(
         "doc_id",
         F.size(words).cast("double").alias("n_words"),
-        (n_punct / n_chars).alias("punct_ratio"),
+        # zero-length guard mirrors with_quality (and the oracle's CASE):
+        # a bare division nulls in Spark but div-by-zeroes in DuckDB
+        F.when(n_chars > 0, n_punct / n_chars)
+        .otherwise(F.lit(0.0))
+        .alias("punct_ratio"),
         F.size(F.array_intersect(F.array_distinct(words), sw))
         .cast("double")
         .alias("stop_hits"),
@@ -1508,9 +1512,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(string_split_regex(trim(regexp_replace(
                            lower(text), '\\s+', ' ', 'g')), ' '))
                            AS DOUBLE) AS n_words,
-                       (length(text) - length(regexp_replace(text,
+                       CASE WHEN length(text) > 0 THEN
+                           (length(text) - length(regexp_replace(text,
                            '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)
-                           AS punct_ratio,
+                       ELSE 0.0 END AS punct_ratio,
                        CAST(len(list_intersect(
                            list_distinct(string_split_regex(trim(
                                regexp_replace(lower(text), '\\s+', ' ',

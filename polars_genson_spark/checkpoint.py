@@ -59,11 +59,36 @@ def save_manifest(run_dir: str, manifest: dict[str, Any]) -> str:
     return path
 
 
+def config_fingerprint(cfg) -> str:
+    """Stable digest of the check-relevant config: resume must NOT skip
+    partitions validated under DIFFERENT rules (a rerun with stricter
+    --max-seq-len would otherwise carry forward stale 'passed' verdicts)."""
+    import dataclasses
+    import hashlib
+    import json as _json
+
+    d = {
+        k: (sorted(v) if isinstance(v, (set, frozenset)) else v)
+        for k, v in dataclasses.asdict(cfg).items()
+    }
+    return hashlib.sha256(
+        _json.dumps(d, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
 def plan_resume(
-    fingerprints: dict[str, int], previous: dict[str, Any] | None
+    fingerprints: dict[str, int],
+    previous: dict[str, Any] | None,
+    config_fp: str | None = None,
 ) -> tuple[list[str], list[str]]:
-    """Split partitions into (to_validate, to_skip) vs a prior manifest."""
+    """Split partitions into (to_validate, to_skip) vs a prior manifest.
+    A changed config fingerprint invalidates every skip."""
     if not previous:
+        return sorted(fingerprints), []
+    if config_fp is not None and previous.get("config_fp") not in (
+        None,
+        config_fp,
+    ):
         return sorted(fingerprints), []
     prev_fps = previous.get("fingerprints", {})
     prev_parts = previous.get("partitions", {})

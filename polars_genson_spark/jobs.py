@@ -65,8 +65,9 @@ def run_validation(
     os.makedirs(run_dir, exist_ok=True)
 
     fingerprints = ckpt.partition_fingerprints(corpus, cfg)
+    cfg_fp = ckpt.config_fingerprint(cfg)
     previous = ckpt.load_manifest(run_dir) if resume else None
-    todo, skipped = ckpt.plan_resume(fingerprints, previous)
+    todo, skipped = ckpt.plan_resume(fingerprints, previous, cfg_fp)
 
     carried = {}
     if previous:
@@ -99,6 +100,7 @@ def run_validation(
         metrics,
         carried=carried,
         extra={
+            "config_fp": cfg_fp,
             "skipped_partitions": sorted(map(str, skipped)),
             "validated_partitions": sorted(map(str, todo)),
         },

@@ -204,7 +204,7 @@ def consistency_reason_expr(cfg: ValidationConfig):
     paths so the two can never diverge (a copy-pasted chain once missed
     token_out_of_range on the streaming side)."""
     c = F.col
-    return (
+    chain = (
         F.when(c(cfg.doc_id_col).isNull(), F.lit("null_doc_id"))
         .when(c(cfg.tokens_col).isNull(), F.lit("null_tokens"))
         .when(c(cfg.n_tok_col).isNull(), F.lit("null_n_tok"))
@@ -219,16 +219,21 @@ def consistency_reason_expr(cfg: ValidationConfig):
             ),
             F.lit("token_out_of_range"),
         )
-        .when(
+    )
+    # bounds branches built conditionally in PYTHON (None/0 = unchecked,
+    # per the config contract — a lit(bool)&... construction flagged
+    # every doc when max_seq_len=0)
+    if cfg.min_seq_len:
+        chain = chain.when(
             c(cfg.n_tok_col) < F.lit(cfg.min_seq_len),
             F.lit("seq_too_short"),
         )
-        .when(
-            F.lit(cfg.max_seq_len is not None)
-            & (c(cfg.n_tok_col) > F.lit(cfg.max_seq_len or 0)),
+    if cfg.max_seq_len:
+        chain = chain.when(
+            c(cfg.n_tok_col) > F.lit(cfg.max_seq_len),
             F.lit("seq_len_exceeded"),
         )
-    )
+    return chain
 
 
 def consistency_violations(

@@ -490,7 +490,7 @@ def minhash_recall_curve(
     the curve's S-bend sits at your target threshold ((1/b)^(1/r) is the
     approximate inflection) BEFORE burning a cluster pass on the wrong
     parameters. Pure arithmetic — runs on the driver, costs nothing."""
-    if num_perm % bands:
+    if bands <= 0 or num_perm % bands:
         raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     r = num_perm // bands
     ts = thresholds or [round(0.05 * i, 2) for i in range(1, 20)]

@@ -180,9 +180,12 @@ def skew_report(
     groupBy/join key says "salt this" BEFORE the job stalls on one
     straggler task — the measurement half of the salting story.
 
-    One count shuffle on the key; the ranking window runs on the
-    |distinct keys| rollup. HLL estimates the distinct count (exact
-    cardinality is not needed for a diagnosis ratio).
+    One count shuffle on the key; the distinct-key total is an exact
+    count over the rollup. Top-k selection is orderBy+limit — Spark's
+    TakeOrderedAndProject (per-partition top-k, k-row merge), NOT a
+    global row_number window, which would funnel the whole |distinct
+    keys| rollup through one task; the rank window then runs on the k
+    surviving rows only.
     """
     from pyspark.sql import Window
 
@@ -193,11 +196,13 @@ def skew_report(
         F.sum("cnt").alias("total"),
         F.count(F.lit(1)).alias("n_keys"),
     )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_k)
+    )
     w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
     return (
-        counts.crossJoin(F.broadcast(totals))
+        top.crossJoin(F.broadcast(totals))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
         .select(
             "rank",
             F.col("key").cast("string").alias("key"),

@@ -352,3 +352,16 @@ def test_seq_len_bounds_checked(spark):
     cfg = ValidationConfig(max_seq_len=512, min_seq_len=1)
     out = {r["doc_id"]: r["reason"] for r in consistency_violations(df, cfg).collect()}
     assert out == {"b": "seq_len_exceeded", "c": "seq_too_short"}
+
+
+def test_max_seq_len_zero_means_unchecked(spark):
+    """max_seq_len=0 is 'unchecked' per the config contract, not
+    'everything violates' (code-review finding r2-3)."""
+    from polars_genson_spark.operators.checks import consistency_violations
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], 3, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    assert consistency_violations(df, ValidationConfig(max_seq_len=0)).collect() == []
+    assert consistency_violations(df, ValidationConfig(max_seq_len=None)).collect() == []

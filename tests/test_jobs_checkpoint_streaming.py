@@ -341,3 +341,30 @@ def test_compact_cli_reduces_file_count(spark, tmp_path):
     assert stats["files_in"] >= 40
     assert stats["files_out"] < stats["files_in"] / 10
     assert spark.read.parquet(out_dir).count() == 5000
+
+
+def test_resume_invalidated_by_config_change(spark, tmp_path):
+    """A rerun with DIFFERENT check config must revalidate everything —
+    fingerprints hash data, not rules (code-review finding r2-3)."""
+    run_dir = str(tmp_path / "cfgrun")
+    corpus = generate_corpus(spark, 5000, seed=13).persist()
+    allowed = allowed_sources_df(spark)
+
+    r1 = run_validation(spark, corpus, allowed, run_dir, write_outputs=False)
+    assert r1["skipped"] == []
+    # same config → all skipped
+    r2 = run_validation(spark, corpus, allowed, run_dir, write_outputs=False)
+    assert r2["validated"] == []
+    # stricter config → full revalidation, and the cap actually applies
+    strict = ValidationConfig(max_seq_len=64)
+    r3 = run_validation(
+        spark, corpus, allowed, run_dir, cfg=strict, write_outputs=False
+    )
+    assert r3["skipped"] == []
+    assert len(r3["validated"]) > 5
+    # rerun under the SAME strict config skips again
+    r4 = run_validation(
+        spark, corpus, allowed, run_dir, cfg=strict, write_outputs=False
+    )
+    assert r4["validated"] == []
+    corpus.unpersist()
