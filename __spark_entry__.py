@@ -78,10 +78,10 @@ def q_stats_documents(spark, sf_dir):
         F.sum(F.col("text").isNull().cast("long")).alias("null_text"),
         F.min("n_chars").alias("min_n_chars"),
         F.max("n_chars").alias("max_n_chars"),
-        # decimal cast makes the rounded value representation-stable:
-        # Spark HALF_UP on doubles vs DuckDB round() can differ by 1 ULP,
-        # which a repr hash catches; decimal(18,4) pins both to 4 digits
-        F.round(F.avg("n_chars"), 4).cast("decimal(18,4)").alias("avg_n_chars"),
+        # plain rounded DOUBLE on both sides: decimals don't survive the
+        # driver's conversion layer (DuckDB .df() turns DECIMAL — and any
+        # integer sum's HUGEINT — into float64, Spark keeps Decimal/int64)
+        F.round(F.avg("n_chars"), 4).alias("avg_n_chars"),
     )
 
 
@@ -243,7 +243,7 @@ def q_events_json(spark, sf_dir):
     k = F.get_json_object("props", "$.k").cast("long")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).cast("decimal(18,4)").alias("avg_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
         F.sum(k).alias("sum_k"),
     )
 
@@ -710,7 +710,9 @@ def q_corpus_verdicts(spark, sf_dir):
         "null_tokens",
         "min_n_tok",
         "max_n_tok",
-        F.col("avg_n_tok").cast("decimal(18,4)").alias("avg_n_tok"),
+        # already round(avg, 4) as DOUBLE in validate_corpus; keep it a
+        # double — Decimal doesn't survive the driver's pandas conversion
+        "avg_n_tok",
         "consistency_violations",
         "referential_violations",
         "duplicate_rows",
@@ -1270,8 +1272,15 @@ def _ivf_topk_sql(n_vec: int, n_centroids: int, n_probe: int, seed: int, k: int)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so every unique oracled capability sits inside the driver's
+    50-query check window: core north-rule checks, then the genson-heritage
+    flagships, then the training-data pipeline ops, then the non-redundant
+    relational queries. The tail (past 50) holds the 13 oracled queries
+    whose *patterns* are already covered earlier (six TPC-H variants and
+    seven near-duplicate capabilities) and the 6 genuinely rows-only ones."""
     return {
-        # scans / stats / checks (SURVEY §2.3, north_rule checks)
+        # -- north-rule checks (SURVEY §2.3): stats / uniqueness /
+        #    referential / drift / verdicts -------------------------------
         "stats_documents": q_stats_documents,
         "hist_n_chars": q_hist_n_chars,
         "consistency_n_chars": q_consistency_n_chars,
@@ -1280,71 +1289,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_lineitem_part": q_referential_lineitem_part,
         "referential_customer_nation": q_referential_customer_nation,
         "drift_nchars_chi2": q_drift_nchars_chi2,
-        # general relational coverage (joins/agg/window/json/time)
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_orders": q3_top_orders,
-        "q5_nation_revenue": q5_nation_revenue,
-        "window_top2_orders": q_window_top2_orders,
-        "q6_band_revenue": q6_band_revenue,
-        "q4_priority_late": q4_priority_late,
-        "q9_profit_nation_year": q9_profit_nation_year,
-        "q13_order_count_dist": q13_order_count_dist,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q17_small_qty_revenue": q17_small_qty_revenue,
-        "q18_large_volume": q18_large_volume,
-        "q22_idle_customers": q22_idle_customers,
-        "range_join_events": q_range_join_events,
-        "semantic_dedup": q_semantic_dedup,
-        "vector_search": q_vector_search,
-        "unigram_quality": q_unigram_quality,
-        "events_json": q_events_json,
-        "events_hourly": q_events_hourly,
-        "hist_n_tok_corpus": q_hist_n_tok_corpus,
         "drift_ks_nchars": q_drift_ks_nchars,
         "psi_nchars": q_psi_nchars,
-        "skew_orders_custkey": q_skew_orders_custkey,
-        "quality_lr_scores": q_quality_lr_scores,
         "psi_daily_events": q_psi_daily_events,
-        # training-data pipeline ops
-        "dedup_exact_text": q_dedup_exact_text,
-        "dedup_survivors": q_dedup_survivors,
-        "token_counts": q_token_counts,
-        "token_counts_bpe": q_token_counts_bpe,
-        "quality": q_quality,
-        "language_id": q_language_id,
-        "redactions": q_redactions,
-        "chunk_tokens": q_chunk_tokens,
-        "word_jaccard_pairs": q_word_jaccard_pairs,
-        "embedding_topk": q_embedding_topk,
-        # relational / curation widening (round 2)
-        "asof_purchase_view": q_asof_purchase_view,
-        "sessions_30m": q_sessions_30m,
-        "top_words_source": q_top_words_source,
-        "quantiles_nchars": q_quantiles_nchars,
-        "near_dup_clusters": q_near_dup_clusters,
-        "decontaminate_trigram": q_decontaminate_trigram,
-        "stratified_sample_docs": q_stratified_sample_docs,
-        "repetition_trigrams": q_repetition_trigrams,
-        "source_mix_docs": q_source_mix_docs,
-        "lexical_diversity": q_lexical_diversity,
-        # genson heritage (schema inference / normalisation)
+        "corpus_verdicts": q_corpus_verdicts,
+        "schema_drift_events": q_schema_drift_events,
+        # -- genson heritage (schema inference / normalisation) -----------
         "schema_infer_events_props": q_schema_infer_events_props,
         "schema_by_event_type": q_schema_by_event_type,
         "per_row_schema_events": q_per_row_schema_events,
         "normalise_events_props": q_normalise_events_props,
         "normalise_decode_events": q_normalise_decode_events,
-        # rows-only (hash-dependent / HLL / synthetic media)
+        # -- training-data pipeline ops (dedup / ANN / text / quality) ----
+        "dedup_exact_text": q_dedup_exact_text,
+        "near_dup_clusters": q_near_dup_clusters,
+        "decontaminate_trigram": q_decontaminate_trigram,
+        "semantic_dedup": q_semantic_dedup,
+        "embedding_topk": q_embedding_topk,
+        "embedding_topk_lsh": q_embedding_topk_lsh,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
+        "embedding_near_dupes": q_embedding_near_dupes,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "quality_lr_scores": q_quality_lr_scores,
+        "language_id": q_language_id,
+        "redactions": q_redactions,
+        "chunk_tokens": q_chunk_tokens,
+        "repetition_trigrams": q_repetition_trigrams,
+        "lexical_diversity": q_lexical_diversity,
+        "unigram_quality": q_unigram_quality,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "source_mix_docs": q_source_mix_docs,
+        "skew_orders_custkey": q_skew_orders_custkey,
+        "multimodal_features": q_multimodal_features,
+        # -- relational coverage (joins/agg/window/json/time) -------------
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q9_profit_nation_year": q9_profit_nation_year,
+        "q13_order_count_dist": q13_order_count_dist,
+        "window_top2_orders": q_window_top2_orders,
+        "range_join_events": q_range_join_events,
+        "asof_purchase_view": q_asof_purchase_view,
+        "sessions_30m": q_sessions_30m,
+        "quantiles_nchars": q_quantiles_nchars,
+        "events_json": q_events_json,
+        # ---- driver's 50-query window ends here (dict order is stable) --
+        # oracled but pattern-redundant with the first 50
+        "q4_priority_late": q4_priority_late,
+        "q6_band_revenue": q6_band_revenue,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_large_volume": q18_large_volume,
+        "q22_idle_customers": q22_idle_customers,
+        "events_hourly": q_events_hourly,
+        "hist_n_tok_corpus": q_hist_n_tok_corpus,
+        "token_counts_bpe": q_token_counts_bpe,
+        "dedup_survivors": q_dedup_survivors,
+        "top_words_source": q_top_words_source,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "vector_search": q_vector_search,
+        # rows-only (hash-seed-dependent / HLL / synthetic media)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_near_pairs": q_simhash_near_pairs,
-        "embedding_near_dupes": q_embedding_near_dupes,
         "fingerprint_docs": q_fingerprint_docs,
-        "embedding_topk_lsh": q_embedding_topk_lsh,
-        "embedding_topk_ivf": q_embedding_topk_ivf,
-        "multimodal_features": q_multimodal_features,
         "pcm_audio_features": q_pcm_audio_features,
-        "schema_drift_events": q_schema_drift_events,
-        "corpus_verdicts": q_corpus_verdicts,
         "hll_uniqueness": q_hll_uniqueness,
     }
 
@@ -1355,11 +1365,11 @@ def oracle_sql() -> dict[str, str]:
         "stats_documents": """
             SELECT source,
                    count(*) AS n_rows,
-                   sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_text,
                    min(n_chars) AS min_n_chars,
                    max(n_chars) AS max_n_chars,
-                   CAST(round(avg(n_chars), 4) AS DECIMAL(18,4))
-                       AS avg_n_chars
+                   CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_n_chars
             FROM documents GROUP BY source
         """,
         "hist_n_chars": """
@@ -1678,9 +1688,9 @@ def oracle_sql() -> dict[str, str]:
         "events_json": """
             SELECT event_type,
                    count(*) AS n_events,
-                   CAST(round(avg(value), 4) AS DECIMAL(18,4)) AS avg_value,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       AS sum_k
+                   CAST(round(avg(value), 4) AS DOUBLE) AS avg_value,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "events_hourly": """
@@ -1966,16 +1976,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source,
                    count(*) AS n_rows,
-                   sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)
-                       AS null_tokens,
+                   CAST(sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS null_tokens,
                    min(n_tok) AS min_n_tok,
                    max(n_tok) AS max_n_tok,
-                   CAST(round(avg(n_tok), 4) AS DECIMAL(18,4)) AS avg_n_tok,
-                   sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)
-                       AS consistency_violations,
-                   0 AS referential_violations,
-                   sum(CASE WHEN doc_id IN (SELECT doc_id FROM dups)
-                       THEN 1 ELSE 0 END) AS duplicate_rows
+                   CAST(round(avg(n_tok), 4) AS DOUBLE) AS avg_n_tok,
+                   CAST(sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS consistency_violations,
+                   CAST(0 AS BIGINT) AS referential_violations,
+                   CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dups)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_rows
             FROM c GROUP BY source
         """,
         "dedup_survivors": """
@@ -2022,10 +2032,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT user_id, ts,
-                       sum(is_start) OVER (
+                       CAST(sum(is_start) OVER (
                            PARTITION BY user_id ORDER BY ts
                            ROWS UNBOUNDED PRECEDING
-                       ) AS session_id
+                       ) AS BIGINT) AS session_id
                 FROM o
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -2059,13 +2069,13 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_nchars": """
             SELECT source,
                    CAST(round(quantile_cont(n_chars, 0.25), 4)
-                       AS DECIMAL(18,4)) AS q0_25,
+                       AS DOUBLE) AS q0_25,
                    CAST(round(quantile_cont(n_chars, 0.5), 4)
-                       AS DECIMAL(18,4)) AS q0_5,
+                       AS DOUBLE) AS q0_5,
                    CAST(round(quantile_cont(n_chars, 0.75), 4)
-                       AS DECIMAL(18,4)) AS q0_75,
+                       AS DOUBLE) AS q0_75,
                    CAST(round(quantile_cont(n_chars, 0.9), 4)
-                       AS DECIMAL(18,4)) AS q0_9
+                       AS DOUBLE) AS q0_9
             FROM documents GROUP BY source
         """,
         # connected components over the SAME trigram-jaccard pair set the
@@ -2188,8 +2198,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, shingle, count(*) AS c
                 FROM e GROUP BY 1, 2
             )
-            SELECT doc_id, sum(c) AS n_shingles, max(c) AS max_rep,
-                   CAST(round(max(c) * 1.0 / sum(c), 4) AS DECIMAL(18,4))
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+                   max(c) AS max_rep,
+                   CAST(round(max(c) * 1.0 / sum(c), 4) AS DOUBLE)
                        AS rep_ratio
             FROM c GROUP BY doc_id
         """,
@@ -2207,15 +2218,16 @@ def oracle_sql() -> dict[str, str]:
             t AS (
                 -- same identity as the Spark side:
                 -- entropy = log2(N) - (sum c*log2 c)/N
-                SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+                SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                       count(*) AS n_types,
                        sum(c * log2(c)) AS s
                 FROM c GROUP BY source
             )
             SELECT source, n_tokens, n_types,
                    CAST(round(n_types * 1.0 / n_tokens, 4)
-                       AS DECIMAL(18,4)) AS ttr,
+                       AS DOUBLE) AS ttr,
                    CAST(round(log2(n_tokens) - s / n_tokens, 4)
-                       AS DECIMAL(18,4)) AS entropy
+                       AS DOUBLE) AS entropy
             FROM t
         """,
         "source_mix_docs": """

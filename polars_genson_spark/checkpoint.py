@@ -85,10 +85,11 @@ def plan_resume(
     A changed config fingerprint invalidates every skip."""
     if not previous:
         return sorted(fingerprints), []
-    if config_fp is not None and previous.get("config_fp") not in (
-        None,
-        config_fp,
-    ):
+    # a manifest with NO config_fp (pre-upgrade) must also invalidate the
+    # skips: we cannot prove its verdicts were produced under the current
+    # rules, and carrying forward stale 'passed' verdicts is exactly what
+    # the fingerprint exists to prevent
+    if config_fp is not None and previous.get("config_fp") != config_fp:
         return sorted(fingerprints), []
     prev_fps = previous.get("fingerprints", {})
     prev_parts = previous.get("partitions", {})

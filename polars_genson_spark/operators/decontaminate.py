@@ -54,9 +54,16 @@ def decontaminate(
     n: int = 3,
     min_shared: int = 1,
 ) -> DataFrame:
-    """Corpus minus contaminated docs (broadcast-friendly left anti-join
-    on the contaminated id set, which is violation-rate-sized)."""
+    """Corpus minus contaminated docs.
+
+    No broadcast hint on the discard side: the contaminated set is
+    corpus-fraction-sized in the worst case (a leaky benchmark can match
+    a large slice of a web corpus), so forcing a broadcast risks OOM at
+    scale. AQE broadcasts it automatically when it is actually small; the
+    fallback is a shuffle anti-join on the id. (The *benchmark shingle*
+    broadcast inside :func:`contaminated_docs` stays — eval sets are
+    genuinely small.)"""
     bad = contaminated_docs(
         corpus, benchmark, id_col, text_col, n, min_shared
     ).select(id_col)
-    return corpus.join(F.broadcast(bad), id_col, "left_anti")
+    return corpus.join(bad, id_col, "left_anti")

@@ -14,8 +14,47 @@ actual collisions, never the full pairwise cross product.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+
+def _cap_hot_buckets(
+    entries: DataFrame, key_cols: list[str], bucket_max: int, what: str
+) -> DataFrame:
+    """Drop LSH buckets whose population exceeds ``bucket_max`` before a
+    bucket self-join.
+
+    A bucket of L entries contributes L² candidate pairs, so one
+    degenerate bucket (boilerplate-heavy shards hashing identically, a
+    hot IVF centroid) turns the self-join into a near cross-product and
+    a single straggler task at scale — the same failure mode ``df_max``
+    caps for hot shingles in :func:`ngram_jaccard_pairs`. Entries in an
+    over-full bucket are simply not candidates *via that bucket*; with
+    banding they usually remain reachable through their other bands.
+    The dropped-bucket list is rollup-sized (only buckets above the
+    cap), so the anti-join build side is tiny and the count we log is a
+    KB-sized aggregate, not a corpus pass.
+    """
+    hot = (
+        entries.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > bucket_max)
+        .persist()
+    )
+    n_hot = hot.count()
+    if n_hot:
+        log.warning(
+            "%s: dropping %d bucket(s) with > %d entries from candidate "
+            "generation (pairs from these buckets are not examined)",
+            what, n_hot, bucket_max,
+        )
+    return entries.join(
+        F.broadcast(hot.select(*key_cols)), key_cols, "left_anti"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -158,6 +197,7 @@ def minhash_candidates(
     bands: int = 16,
     min_jaccard: float = 0.5,
     cache_entries: bool = True,
+    bucket_max: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs: (id_a, id_b, est_jaccard).
 
@@ -168,6 +208,12 @@ def minhash_candidates(
     ``cache_entries`` persists the band-entry table so the expensive
     shingle→signature work runs ONCE instead of once per self-join side
     (MEMORY_AND_DISK — spills rather than OOMs at scale).
+
+    ``bucket_max`` (None = unlimited) drops band buckets with more
+    entries than the cap before the self-join — the skew guard for
+    degenerate buckets (see :func:`_cap_hot_buckets`). Recall within an
+    over-full bucket is sacrificed; pairs stay reachable via their other
+    ``bands - 1`` bands.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
@@ -203,6 +249,10 @@ def minhash_candidates(
     ).select("id", "minhash", "bb.band", "bb.bhash")
     if cache_entries:
         band_entries = band_entries.persist()
+    if bucket_max is not None:
+        band_entries = _cap_hot_buckets(
+            band_entries, ["band", "bhash"], bucket_max, "minhash_candidates"
+        )
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -285,11 +335,14 @@ def simhash_candidates(
     text_col: str = "text",
     max_hamming: int = 3,
     cache_entries: bool = True,
+    bucket_max: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4×16-bit chunks: any pair within
     Hamming distance ≤3 shares at least one exact chunk — pigeonhole).
     ``cache_entries`` persists the chunk table so the 64-bit fingerprint is
-    computed once, not once per self-join side."""
+    computed once, not once per self-join side. ``bucket_max`` drops
+    over-full chunk buckets before the self-join (skew guard; see
+    :func:`_cap_hot_buckets`)."""
     sh = with_simhash(df, text_col).select(
         F.col(id_col).alias("id"), "simhash"
     )
@@ -312,6 +365,10 @@ def simhash_candidates(
     ).select("id", "simhash", "cc.chunk", "cc.chash")
     if cache_entries:
         chunks = chunks.persist()
+    if bucket_max is not None:
+        chunks = _cap_hot_buckets(
+            chunks, ["chunk", "chash"], bucket_max, "simhash_candidates"
+        )
 
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
@@ -451,6 +508,7 @@ def near_dup_clusters(
         .withColumn("label", F.col("id"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbour_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -478,6 +536,16 @@ def near_dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # silent non-convergence would split clusters, so downstream
+        # keep-cluster-min survivor selection would retain duplicates
+        # with no signal — surface it instead of returning quietly
+        log.warning(
+            "near_dup_clusters: label propagation did not converge within "
+            "%d iterations — returned clusters may be split (graph "
+            "diameter exceeds the cap; raise max_iterations)",
+            max_iterations,
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -97,6 +97,16 @@ def infer_incremental(
     set without any rescan of surviving files."""
     config = config or InferenceConfig()
     state = load_state(state_dir)
+    # stored per-file summaries depend on the InferenceConfig
+    # (ignore_outer_array / max_builders change what _observe_cell folds),
+    # so state written under different rules — or under no recorded rules
+    # at all — must be discarded and every file re-folded, exactly like
+    # checkpoint.plan_resume invalidates skips on a config_fp change
+    from ..checkpoint import config_fingerprint
+
+    cfg_fp = config_fingerprint(config)
+    if state.get("config_fp") != cfg_fp:
+        state = {"files": {}, "config_fp": cfg_fp}
     current = _list_parquet_files(spark, input_path)
     known = state["files"]
 

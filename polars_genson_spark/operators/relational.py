@@ -39,6 +39,10 @@ def asof_join(
     right_payload = right_payload or [
         c for c in right.columns if c not in (on, right_ts)
     ]
+    # a NULL right_ts would sort before every real row (asc nulls-first)
+    # and its payload would be carried as the "match" for left rows that
+    # precede any real right row — drop such rows up front
+    right = right.where(F.col(right_ts).isNotNull())
     payload = F.struct(
         F.col(right_ts).alias("_ats"),
         *[F.col(c) for c in right_payload],
@@ -151,7 +155,6 @@ def grouped_quantiles(
         group_col,
         *[
             F.round(F.col("_qs")[i], 4)
-            .cast("decimal(18,4)")
             .alias(f"q{str(q).replace('.', '_')}")
             for i, q in enumerate(quantiles)
         ],

@@ -49,8 +49,14 @@ def stratified_sample(
             F.pmod(key, F.lit(d)) < F.lit(n)
         )
         keep = cond if keep is None else keep | cond
+    # null-safe: isin() is NULL for a NULL group, and NULL would poison
+    # the (listed & keep) | (~listed & default_keep) combination below —
+    # silently dropping every null-group row even at default_rate=(1,1).
+    # Coalesce to False so null groups fall through to the default rate.
     listed = (
-        F.col(group_col).isin(list(rates.keys()))
+        F.coalesce(
+            F.col(group_col).isin(list(rates.keys())), F.lit(False)
+        )
         if rates
         else F.lit(False)
     )

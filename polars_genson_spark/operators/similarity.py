@@ -221,17 +221,29 @@ def lsh_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     cache_entries: bool = True,
+    bucket_max: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates only within an LSH bucket of
     any of ``n_tables`` independent tables; comparisons are bounded by
     bucket populations, never |N|². ``cache_entries`` persists the tagged
     table so normalisation + bucket signatures compute once, not per
-    self-join side."""
+    self-join side.
+
+    ``bucket_max`` (None = unlimited) drops (table, bucket) cells with
+    more entries than the cap before the self-join: one degenerate bucket
+    of L vectors contributes L² pairs and a straggler task at scale.
+    Vectors stay reachable through the other ``n_tables - 1`` tables."""
+    from .dedup import _cap_hot_buckets
+
     tagged = _multi_table_tagged(
         df, dim, n_planes, n_tables, id_col, vec_col, seed
     )
     if cache_entries:
         tagged = tagged.persist()
+    if bucket_max is not None:
+        tagged = _cap_hot_buckets(
+            tagged, ["table", "bucket"], bucket_max, "lsh_topk"
+        )
     a, b = tagged.alias("a"), tagged.alias("b")
     # candidates once per UNORDERED pair (id_a < id_b): cosine is
     # symmetric, so computing it per ordered pair doubles the interpreted
@@ -380,6 +392,7 @@ def ivf_topk(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     cache_entries: bool = True,
+    bucket_max: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k via IVF: every vector is indexed under
     its nearest centroid; as a query it probes its ``n_probe`` nearest
@@ -389,7 +402,14 @@ def ivf_topk(
 
     Pass precomputed ``centroids`` (e.g. from :func:`train_ivf_centroids`
     on a sample) to skip training; at 100 TB you train the quantizer once
-    on a small sample and reuse it for every shard."""
+    on a small sample and reuse it for every shard.
+
+    ``bucket_max`` (None = unlimited) drops over-populated centroid
+    buckets from BOTH the member and probe sides before the join: a hot
+    centroid cell contributes |members| × |probes| pairs, so capping both
+    bounds the worst cell at bucket_max². (The right long-term fix for a
+    persistently hot centroid is retraining with more centroids; the cap
+    is the runtime guard.)"""
     if centroids is None:
         centroids = train_ivf_centroids(
             df, n_centroids, vec_col, seed=seed
@@ -411,6 +431,15 @@ def ivf_topk(
     if cache_entries:
         members = members.persist()
         queries = queries.persist()
+    if bucket_max is not None:
+        from .dedup import _cap_hot_buckets
+
+        members = _cap_hot_buckets(
+            members, ["bucket"], bucket_max, "ivf_topk(members)"
+        )
+        queries = _cap_hot_buckets(
+            queries, ["bucket"], bucket_max, "ivf_topk(probes)"
+        )
 
     pairs = (
         queries.alias("a")

@@ -273,9 +273,7 @@ def repetition_stats(
     return per_shingle.groupBy(id_col).agg(
         F.sum("c").alias("n_shingles"),
         F.max("c").alias("max_rep"),
-        F.round(F.max("c") / F.sum("c"), 4)
-        .cast("decimal(18,4)")
-        .alias("rep_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("rep_ratio"),
     )
 
 
@@ -347,10 +345,8 @@ def lexical_diversity(
         group_col,
         "n_tokens",
         "n_types",
-        F.round(F.col("n_types") / F.col("n_tokens"), 4)
-        .cast("decimal(18,4)")
-        .alias("ttr"),
-        F.round(entropy, 4).cast("decimal(18,4)").alias("entropy"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+        F.round(entropy, 4).alias("entropy"),
     )
 
 

@@ -144,8 +144,12 @@ def curate(
         losers = clusters.where(
             F.col("doc_id") != F.col("cluster_id")
         ).select(F.col("doc_id").alias(cfg.id_col))
+        # no broadcast hint: near-dup "losers" are dup-rate-sized (easily
+        # 20-50% of a web corpus — billions of ids at 100 TB), so a forced
+        # broadcast would OOM. AQE picks broadcast when actually small;
+        # otherwise this is a shuffle anti-join on the 8-byte id.
         cur = stage(
-            cur.join(F.broadcast(losers), cfg.id_col, "left_anti"),
+            cur.join(losers, cfg.id_col, "left_anti"),
             "near_dedup",
         )
 
@@ -163,8 +167,9 @@ def curate(
             id_col=cfg.embedding_id_col,
             return_discards=True,
         ).select(F.col("id").alias(cfg.id_col))
+        # dup-rate-sized discard set — no broadcast hint (see near_dedup)
         cur = stage(
-            cur.join(F.broadcast(dropped), cfg.id_col, "left_anti"),
+            cur.join(dropped, cfg.id_col, "left_anti"),
             "semantic_dedup",
         )
 
@@ -178,8 +183,11 @@ def curate(
             n=cfg.shingle_n,
             min_shared=cfg.decontaminate_min_shared,
         ).select(cfg.id_col)
+        # contamination can be corpus-fraction-sized for leaky benchmarks —
+        # let AQE choose the anti-join strategy rather than forcing a
+        # broadcast of an unbounded id set
         cur = stage(
-            cur.join(F.broadcast(bad), cfg.id_col, "left_anti"),
+            cur.join(bad, cfg.id_col, "left_anti"),
             "decontaminated",
         )
 

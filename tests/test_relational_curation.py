@@ -96,14 +96,12 @@ def test_sessionize_gap(spark):
 
 
 def test_grouped_quantiles_interpolation(spark):
-    from decimal import Decimal
-
     df = spark.createDataFrame(
         [("g", v) for v in (1, 2, 3, 10)], "grp string, v long"
     )
     row = grouped_quantiles(df, "grp", "v", [0.25, 0.5]).collect()[0]
-    assert row["q0_25"] == Decimal("1.7500")  # 1 + 0.75*(2-1)
-    assert row["q0_5"] == Decimal("2.5000")
+    assert row["q0_25"] == 1.75  # 1 + 0.75*(2-1)
+    assert row["q0_5"] == 2.5
 
 
 def test_near_dup_clusters_transitive(spark):
@@ -271,8 +269,6 @@ def test_line_dedup_boilerplate(spark):
 
 
 def test_repetition_stats(spark):
-    from decimal import Decimal
-
     from polars_genson_spark.operators.text import repetition_stats
 
     docs = spark.createDataFrame(
@@ -285,7 +281,7 @@ def test_repetition_stats(spark):
     )
     out = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
     assert out[1]["n_shingles"] == 7 and out[1]["max_rep"] == 3
-    assert out[1]["rep_ratio"] == Decimal("0.4286")
+    assert out[1]["rep_ratio"] == 0.4286
     assert out[2]["max_rep"] == 1
     assert out[3]["n_shingles"] == 1 and out[3]["max_rep"] == 1
 
@@ -447,8 +443,6 @@ def test_curate_with_semantic_stage(spark):
 def test_grouped_quantiles_approx_close_to_exact(spark):
     """The sketch path tracks the exact path within its rank-error bound
     on a 10k-row group, and rejects unknown methods."""
-    from decimal import Decimal
-
     df = spark.createDataFrame(
         [("g", float(v)) for v in range(10_000)], "grp string, v double"
     )

@@ -1,0 +1,220 @@
+"""Round-3 scale/correctness fixes: hot-bucket caps in LSH candidate
+generation, AQE-chosen (not forced-broadcast) discard anti-joins,
+null-safe stratified sampling, as-of join null-ts hygiene, config-aware
+resume invalidation, and non-convergence surfacing in clustering."""
+
+from __future__ import annotations
+
+import json
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_genson_spark import InferenceConfig
+from polars_genson_spark.checkpoint import plan_resume
+from polars_genson_spark.operators import dedup
+from polars_genson_spark.operators.decontaminate import decontaminate
+from polars_genson_spark.operators.incremental import infer_incremental
+from polars_genson_spark.operators.relational import asof_join
+from polars_genson_spark.operators.sample import stratified_sample
+from polars_genson_spark.operators.similarity import ivf_topk, lsh_topk
+
+
+# --- hot-bucket caps -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def degenerate_docs(spark):
+    """12 byte-identical docs + 2 distinct ones: every MinHash band bucket
+    and every SimHash chunk bucket of the clones is the same, so uncapped
+    candidate generation emits C(12,2)=66 clone pairs."""
+    rows = [(i, "the same boilerplate text repeated verbatim here") for i in range(12)]
+    rows += [(100, "an entirely different document about spark plans"),
+             (101, "yet another unrelated text concerning parquet files")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_degenerate_bucket(degenerate_docs):
+    uncapped = dedup.minhash_candidates(
+        degenerate_docs, num_perm=16, bands=4, min_jaccard=0.5
+    )
+    assert uncapped.count() == 66
+    capped = dedup.minhash_candidates(
+        degenerate_docs, num_perm=16, bands=4, min_jaccard=0.5, bucket_max=4
+    )
+    # every clone bucket holds 12 > 4 entries → dropped → no pairs at all
+    assert capped.count() == 0
+
+
+def test_simhash_bucket_cap(degenerate_docs):
+    uncapped = dedup.simhash_candidates(degenerate_docs, max_hamming=3)
+    assert uncapped.count() >= 66
+    capped = dedup.simhash_candidates(
+        degenerate_docs, max_hamming=3, bucket_max=4
+    )
+    assert capped.count() < uncapped.count()
+
+
+@pytest.fixture(scope="module")
+def clone_vectors(spark):
+    """10 identical unit vectors + 3 scattered ones (4-dim)."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)]
+    rows += [(20, [0.0, 1.0, 0.0, 0.0]), (21, [0.0, 0.0, 1.0, 0.0]),
+             (22, [0.0, 0.0, 0.0, 1.0])]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_topk_bucket_cap(clone_vectors):
+    uncapped = lsh_topk(clone_vectors, dim=4, k=3, n_planes=2, n_tables=2)
+    capped = lsh_topk(
+        clone_vectors, dim=4, k=3, n_planes=2, n_tables=2, bucket_max=4
+    )
+    # the 10-clone bucket exceeds the cap in every table → its pairs gone
+    assert capped.count() < uncapped.count()
+
+
+def test_ivf_bucket_cap(clone_vectors):
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    uncapped = ivf_topk(
+        clone_vectors, dim=4, k=3, n_probe=1, centroids=cents
+    )
+    capped = ivf_topk(
+        clone_vectors, dim=4, k=3, n_probe=1, centroids=cents, bucket_max=4
+    )
+    assert capped.count() < uncapped.count()
+
+
+def test_bucket_cap_none_is_identity(degenerate_docs):
+    a = dedup.minhash_candidates(degenerate_docs, num_perm=16, bands=4)
+    b = dedup.minhash_candidates(
+        degenerate_docs, num_perm=16, bands=4, bucket_max=None
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- discard anti-joins: no forced broadcast -------------------------------
+
+
+def test_decontaminate_discard_side_not_hint_broadcast(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"completely unique text number {i} nothing shared") for i in range(30)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "benchmark only words here")], "doc_id long, text string"
+    )
+    out = decontaminate(corpus, bench, min_shared=1)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # exactly ONE broadcast hint survives: the benchmark shingle set
+    # (genuinely small); the contaminated-id anti-join must be left to AQE
+    # because the discard set is corpus-fraction-sized in the worst case
+    assert analyzed.count("ResolvedHint") == 1
+    assert out.count() == 30  # nothing shared → nothing dropped
+
+
+# --- null-safe stratified sampling ----------------------------------------
+
+
+def test_stratified_sample_null_group_falls_through_to_default(spark):
+    df = spark.createDataFrame(
+        [(1, "src0"), (2, "src0"), (3, None), (4, None)],
+        "doc_id long, source string",
+    )
+    out = stratified_sample(
+        df, rates={"src0": (1, 2)}, default_rate=(1, 1), method="mod"
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    # default_rate (1,1) keeps ALL null-group rows; src0 keeps doc_id%2<1
+    assert {3, 4} <= got
+    assert got & {1, 2} == {2}
+
+
+# --- as-of join: null right timestamps ------------------------------------
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 100)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, 50, "real")],
+        "k long, ts long, tag string",
+    )
+    out = asof_join(left, right, on="k").orderBy("ts").collect()
+    # ts=10 precedes every real right row: no match, and crucially the
+    # null-ts payload must NOT be carried as a phantom match
+    assert out[0]["asof_ts"] is None and out[0]["asof_tag"] is None
+    assert out[1]["asof_ts"] == 50 and out[1]["asof_tag"] == "real"
+
+
+# --- resume invalidation when manifest lacks config_fp ---------------------
+
+
+def test_plan_resume_missing_config_fp_invalidates_skips():
+    prev = {
+        "fingerprints": {"s0": 1},
+        "partitions": {"s0": {"passed": True}},
+        # no config_fp: pre-upgrade manifest
+    }
+    todo, skip = plan_resume({"s0": 1}, prev, config_fp="abc123")
+    assert todo == ["s0"] and skip == []
+    # with a matching fp recorded, the skip is honoured again
+    prev["config_fp"] = "abc123"
+    todo, skip = plan_resume({"s0": 1}, prev, config_fp="abc123")
+    assert todo == [] and skip == ["s0"]
+
+
+# --- incremental inference: config change re-folds -------------------------
+
+
+def test_infer_incremental_refolds_on_config_change(spark, tmp_path):
+    data = str(tmp_path / "data")
+    state = str(tmp_path / "state")
+    docs = [{"a": 1}, {"a": 2, "b": "x"}]
+    df = spark.createDataFrame(
+        [(json.dumps(d),) for d in docs], "j string"
+    )
+    df.coalesce(1).write.parquet(data)
+
+    r1 = infer_incremental(spark, data, state, "j")
+    assert len(r1.new_files) == 1
+
+    # same config → state reused
+    r2 = infer_incremental(spark, data, state, "j")
+    assert not r2.new_files and len(r2.reused_files) == 1
+
+    # different config → stored summaries are stale → full re-fold
+    cfg = InferenceConfig(map_threshold=1)
+    r3 = infer_incremental(spark, data, state, "j", config=cfg)
+    assert len(r3.new_files) == 1 and not r3.reused_files
+
+    # and the new config's state persists for its own subsequent runs
+    r4 = infer_incremental(spark, data, state, "j", config=cfg)
+    assert not r4.new_files and len(r4.reused_files) == 1
+
+
+# --- near_dup_clusters surfaces non-convergence ----------------------------
+
+
+def test_near_dup_clusters_warns_on_iteration_cap(spark, caplog):
+    # path graph 0-1-2-...-7: min-label needs ~diameter rounds; cap at 1
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(7)],
+        "id_a long, id_b long, jaccard double",
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="polars_genson_spark.operators.dedup"):
+        out = dedup.near_dup_clusters(pairs, max_iterations=1)
+        n = out.count()
+    assert n == 8
+    assert any("did not converge" in r.message for r in caplog.records)
+    # converged run stays silent
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="polars_genson_spark.operators.dedup"):
+        done = dedup.near_dup_clusters(pairs, max_iterations=20)
+        labels = {r["cluster_id"] for r in done.collect()}
+    assert labels == {0}
+    assert not any("did not converge" in r.message for r in caplog.records)
