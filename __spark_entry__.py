@@ -615,11 +615,35 @@ def q_fingerprint_docs(spark, sf_dir):
     return with_fingerprint(d).select("doc_id", "fingerprint", "min_shingle_fp")
 
 
+def _with_ann_recall(ann, exact):
+    """Attach per-query recall@k vs the exact brute-force top-k: the
+    fraction of the exact neighbour list the ANN list captured (constant
+    across an id_a's rows). Pins result QUALITY in the driver's value
+    hash, not just determinism of the bucketing."""
+    hits = (
+        ann.join(exact.select("id_a", "id_b"), ["id_a", "id_b"])
+        .groupBy("id_a")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    n_exact = exact.groupBy("id_a").agg(F.count(F.lit(1)).alias("_ne"))
+    return (
+        ann.join(n_exact, "id_a")
+        .join(hits, "id_a", "left")
+        .withColumn(
+            "recall",
+            F.round(F.coalesce(F.col("_h"), F.lit(0)) / F.col("_ne"), 6),
+        )
+        .drop("_h", "_ne")
+    )
+
+
 def q_embedding_topk_lsh(spark, sf_dir):
-    from polars_genson_spark.operators.similarity import lsh_topk
+    from polars_genson_spark.operators.similarity import lsh_topk, pairwise_topk
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return lsh_topk(e, dim=64, k=1)  # testdata embeddings are 64-dim
+    ann = lsh_topk(e, dim=64, k=3)  # testdata embeddings are 64-dim
+    exact = pairwise_topk(e, k=3)  # 200-vector slice: O(N²) is oracle-sized
+    return _with_ann_recall(ann, exact)
 
 
 def q_simhash_near_pairs(spark, sf_dir):
@@ -651,9 +675,12 @@ def q_embedding_topk_ivf(spark, sf_dir):
         ivf_topk,
     )
 
+    from polars_genson_spark.operators.similarity import pairwise_topk
+
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     cents = _hyperplanes(64, 8, seed=7)
-    return ivf_topk(e, dim=64, k=1, n_probe=2, centroids=cents)
+    ann = ivf_topk(e, dim=64, k=3, n_probe=2, centroids=cents)
+    return _with_ann_recall(ann, pairwise_topk(e, k=3))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1172,6 +1199,44 @@ def _lsh_candidates_cte(n_planes: int, n_tables: int, seed: int) -> str:
 """
 
 
+_RECALL_CTES = """
+    exact_scored AS (
+        SELECT na.vec_id AS id_a, nb.vec_id AS id_b,
+               round(list_dot_product(na.vn, nb.vn), 6) AS cosine
+        FROM n na JOIN n nb ON na.vec_id <> nb.vec_id
+    ),
+    exact AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b,
+                   row_number() OVER (
+                       PARTITION BY id_a ORDER BY cosine DESC, id_b
+                   ) AS r
+            FROM exact_scored
+        ) WHERE r <= {k}
+    ),
+    ne AS (SELECT id_a, count(*) AS ne FROM exact GROUP BY 1),
+    hits AS (
+        SELECT r.id_a, count(*) AS h
+        FROM ranked r JOIN exact e
+          ON r.id_a = e.id_a AND r.id_b = e.id_b
+        WHERE r.rank <= {k}
+        GROUP BY 1
+    )
+"""
+
+# final SELECT shared by the LSH/IVF top-k oracles: the ANN rows plus
+# per-query recall@k vs the exact brute-force list (coalesce(h,0)/ne)
+_RECALL_SELECT = """
+    SELECT r.id_a, r.id_b, r.cosine, r.rank,
+           CAST(round(coalesce(h.h, 0) * 1.0 / ne.ne, 6) AS DOUBLE)
+               AS recall
+    FROM ranked r
+    JOIN ne ON ne.id_a = r.id_a
+    LEFT JOIN hits h ON h.id_a = r.id_a
+    WHERE r.rank <= {k}
+"""
+
+
 def _lsh_topk_sql(n_vec: int, n_planes: int, n_tables: int, seed: int, k: int) -> str:
     return f"""
     WITH {_NORMED_CTE.format(n_vec=n_vec)},
@@ -1194,8 +1259,9 @@ def _lsh_topk_sql(n_vec: int, n_planes: int, n_tables: int, seed: int, k: int) -
                    PARTITION BY id_a ORDER BY cosine DESC, id_b
                ) AS rank
         FROM scored
-    )
-    SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}
+    ),
+    {_RECALL_CTES.format(k=k)}
+    {_RECALL_SELECT.format(k=k)}
     """
 
 
@@ -1266,8 +1332,9 @@ def _ivf_topk_sql(n_vec: int, n_centroids: int, n_probe: int, seed: int, k: int)
                    PARTITION BY id_a ORDER BY cosine DESC, id_b
                ) AS rank
         FROM scored
-    )
-    SELECT id_a, id_b, cosine, rank FROM ranked WHERE rank <= {k}
+    ),
+    {_RECALL_CTES.format(k=k)}
+    {_RECALL_SELECT.format(k=k)}
     """
 
 
@@ -2246,13 +2313,13 @@ def oracle_sql() -> dict[str, str]:
         # constants are deterministic Python literals shared with the
         # Spark queries, so DuckDB replicates bucketing + ranking exactly
         "embedding_topk_lsh": _lsh_topk_sql(
-            n_vec=200, n_planes=4, n_tables=8, seed=42, k=1
+            n_vec=200, n_planes=4, n_tables=8, seed=42, k=3
         ),
         "embedding_near_dupes": _near_dupes_sql(
             n_vec=300, n_planes=6, n_tables=6, seed=42, threshold=0.3
         ),
         "embedding_topk_ivf": _ivf_topk_sql(
-            n_vec=200, n_centroids=8, n_probe=2, seed=7, k=1
+            n_vec=200, n_centroids=8, n_probe=2, seed=7, k=3
         ),
         "semantic_dedup": _semantic_dedup_sql(
             n_vec=300, n_clusters=4, seed=7, threshold=0.3

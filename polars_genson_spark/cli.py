@@ -10,6 +10,13 @@ Reads FILE (or stdin) as one JSON document — or one per line with
 rows instead (one JSON line per row for NDJSON, else a pretty array).
 ``processed_count`` goes to stderr, exactly like the reference
 (main.rs:272).
+
+NOT the cluster path: like the reference CLI it is a single-file tool
+that prints its whole result, so it collects rows to the driver — sized
+for files a human inspects, not corpora. The distributed entry points
+are ``python -m polars_genson_spark.jobs ...`` (validate/curate/
+stream-validate/compact) and the library operators, which never collect
+corpus-sized data.
 """
 
 from __future__ import annotations

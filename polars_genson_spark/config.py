@@ -97,6 +97,11 @@ class ValidationConfig:
     # parallelism; pays the Arrow transfer of the tokens column).
     hist_impl: str = "jvm"
     vocab_size: int = 50257
+    # token-id-range scan (any id outside [0, vocab_size)): an F.exists
+    # over every token of every doc — the most expensive consistency
+    # branch (~20% of full validation; see BENCH.md). Disable when the
+    # upstream tokenizer already guarantees the range.
+    check_token_range: bool = True
     # sequence-length bounds: a doc longer than the model's context (or
     # shorter than min) is a consistency violation. None/0 = unchecked.
     max_seq_len: int | None = None

@@ -212,14 +212,15 @@ def consistency_reason_expr(cfg: ValidationConfig):
             c(cfg.n_tok_col) != F.size(c(cfg.tokens_col)),
             F.lit("n_tok_mismatch"),
         )
-        .when(
+    )
+    if cfg.check_token_range:
+        chain = chain.when(
             F.exists(
                 c(cfg.tokens_col),
                 lambda t: (t < 0) | (t >= F.lit(cfg.vocab_size)),
             ),
             F.lit("token_out_of_range"),
         )
-    )
     # bounds branches built conditionally in PYTHON (None/0 = unchecked,
     # per the config contract — a lit(bool)&... construction flagged
     # every doc when max_seq_len=0)
