@@ -834,6 +834,20 @@ def q_schema_drift_events(spark, sf_dir):
     )
 
 
+def q_codec_features(spark, sf_dir):
+    """REAL decode of REAL encoded bytes on the executors: PNG images and
+    PCM16 WAV audio (this repo's stdlib-only codecs, no PIL/ffmpeg) →
+    16-dim features inside mapInPandas. rows-only: the FFT band powers
+    and histogram are numpy-computed, not SQL-expressible."""
+    from polars_genson_spark.operators.multimodal import (
+        extract_features,
+        synthesize_codec_media,
+    )
+
+    media = synthesize_codec_media(spark, 120, seed=11)
+    return extract_features(media, decoder="real")
+
+
 def q_pcm_audio_features(spark, sf_dir):
     """REAL DSP on synthetic raw PCM (multimodal.pcm_features): rows-only
     because DuckDB has no FFT — correctness is pinned by unit tests
@@ -1422,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "fingerprint_docs": q_fingerprint_docs,
         "pcm_audio_features": q_pcm_audio_features,
+        "codec_features": q_codec_features,
         "hll_uniqueness": q_hll_uniqueness,
     }
 

@@ -2,18 +2,28 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schema, partition-preserving mapInPandas, Arrow
-batch shapes, UDF signatures) is real and tested. RAW formats get REAL
-compute: ``pcm_features`` does actual DSP (RMS/ZCR/spectral centroid via
-numpy rfft) on int16 PCM, and ``resize_raw_gray`` really resamples raw
-grayscale pixel buffers — no codec library needed for raw data. Only
-COMPRESSED formats (jpeg/mp3/h264) remain stubbed behind
-``decoder="real"`` raising NotImplementedError, because those genuinely
-require PIL/ffmpeg, which this container lacks.
+batch shapes, UDF signatures) is real and tested. REAL compute covers:
+
+- raw formats: ``pcm_features`` does actual DSP (RMS/ZCR/spectral
+  centroid via numpy rfft) on int16 PCM; ``resize_raw_gray`` really
+  resamples raw grayscale pixel buffers;
+- losslessly-compressed formats needing no external codec:
+  ``decode_png`` (full spec-compliant unfilter: None/Sub/Up/Average/
+  Paeth, gray/RGB/RGBA, stdlib zlib) and ``decode_wav`` (RIFF/PCM16
+  parse + channel downmix) — so ``decode_media`` turns png/wav rows
+  into the raw rows the DSP operators consume.
+
+Only formats that genuinely require an external codec (jpeg/mp3/h264)
+remain stubbed behind ``decoder="real"`` raising NotImplementedError —
+the container has no PIL/ffmpeg, and pretending otherwise would be
+dishonest.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -81,7 +91,14 @@ def extract_features(
 
     Real Arrow plumbing: the UDF sees pandas batches of (media_id, media,
     meta) and emits (media_id, kind, features array<double>, batch_rows).
-    ``decoder='real'`` marks where torchvision/PIL/ffmpeg would run.
+
+    ``decoder='fake'``: deterministic hash features (plumbing tests).
+    ``decoder='real'``: ACTUAL decode + features for the formats this
+    module can decode without an external codec — PNG (16-bin intensity
+    histogram of the luma image), WAV / raw PCM16 (16-band mean
+    log-power spectrum), raw grayscale (histogram). Any other mime
+    (jpeg/mp3/h264/opaque) raises NotImplementedError, because decoding
+    those genuinely requires PIL/ffmpeg, which this container lacks.
     """
 
     out_schema = (
@@ -89,14 +106,53 @@ def extract_features(
         f"{batch_note_col} int"
     )
 
+    def real_features(buf: bytes, meta: dict) -> list[float]:
+        mime = (meta["mime"] or "").lower()
+        if mime == "image/png":
+            img = decode_png(buf)
+            if img.ndim == 3:
+                img = (
+                    (img[:, :, :3] @ _GRAY_W).round().clip(0, 255)
+                    .astype(np.uint8)
+                )
+            hist = np.bincount(
+                (img.reshape(-1) >> 4), minlength=FEATURE_DIM
+            ).astype(np.float64)
+            return list(np.round(hist / max(img.size, 1), 6))
+        if mime == "image/x-raw-gray":
+            img = np.frombuffer(buf or b"", dtype=np.uint8)
+            hist = np.bincount(img >> 4, minlength=FEATURE_DIM).astype(
+                np.float64
+            )
+            return list(np.round(hist / max(img.size, 1), 6))
+        if mime in ("audio/wav", "audio/x-wav", "audio/wave", "audio/l16"):
+            if mime == "audio/l16":
+                x = np.frombuffer(buf or b"", dtype="<i2")
+            else:
+                x, _sr = decode_wav(buf)
+            x = x.astype(np.float64) / 32768.0
+            if x.size == 0:
+                return [0.0] * FEATURE_DIM
+            spec = np.abs(np.fft.rfft(x)) ** 2
+            bands = np.array_split(spec, FEATURE_DIM)
+            power = np.array([float(b.mean()) if b.size else 0.0
+                              for b in bands])
+            return list(np.round(np.log10(power + 1e-12), 6))
+        raise NotImplementedError(
+            f"decoding {mime!r} requires PIL/ffmpeg — not available in "
+            "this environment (png/wav/raw decode natively; use "
+            "decoder='fake' for opaque payloads)"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not available "
-                    "in this environment; use decoder='fake'"
-                )
-            feats = [_fake_features(m) for m in pdf["media"]]
+                feats = [
+                    real_features(bytes(m), meta)
+                    for m, meta in zip(pdf["media"], pdf["meta"])
+                ]
+            else:
+                feats = [_fake_features(m) for m in pdf["media"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -301,3 +357,257 @@ def resize_raw_gray(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.where(F.col("meta.kind") == "image").mapInPandas(
         run, MEDIA_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real codecs for losslessly-compressed formats (stdlib zlib/struct only).
+# These run INSIDE the mapInPandas batch, so the cluster shape is identical
+# to a PIL/ffmpeg deployment: bytes in, arrays out, no driver involvement.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / RGBA) to a numpy
+    array of shape (h, w) or (h, w, channels).
+
+    Full filter support (None/Sub/Up/Average/Paeth, PNG spec §9): Sub and
+    Up vectorize (cumsum mod 256 / previous-row add); Average and Paeth
+    carry a per-pixel dependency and run as scanline loops — correct
+    first, and still bounded per row. Palette, 16-bit and interlaced
+    PNGs raise ValueError (the honest boundary of this decoder)."""
+    if not data or not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat = 8, []
+    w = h = bitd = ctype = interlace = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + body + CRC (CRC not verified)
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+            bitd, ctype, _comp, _filt, interlace = body[8:13]
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG has no IHDR chunk")
+    if bitd != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (bit depth {bitd}, color type "
+            f"{ctype}, interlace {interlace}); this decoder handles "
+            "8-bit non-interlaced gray/RGB/RGBA"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    at = 0
+    for y in range(h):
+        f = raw[at]
+        line = np.frombuffer(raw, np.uint8, stride, at + 1).astype(np.int32)
+        at += stride + 1
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: per-channel-lane running sum (mod distributes)
+            cur = (np.cumsum(line.reshape(w, ch), axis=0) & 0xFF).reshape(
+                stride
+            )
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = line
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a uint8 array ((h,w) gray or (h,w,3) RGB or (h,w,4) RGBA)
+    as a spec-compliant PNG (filter 0 rows). Counterpart of
+    :func:`decode_png` for synthesizing test/bench media."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        ctype, ch = 0, 1
+        img = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        ctype, ch = (2, 3) if img.shape[2] == 3 else (6, 4)
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    scanlines = b"".join(
+        b"\x00" + img[y].tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM16 payload to (mono int16 samples, sample
+    rate). Multi-channel audio is downmixed by averaging. Non-PCM or
+    non-16-bit WAVs raise ValueError."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        ln = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, sr = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV (format {audio_format}, {bits}-bit); this "
+            "decoder handles uncompressed PCM16"
+        )
+    x = np.frombuffer(pcm[: (len(pcm) // (2 * n_ch)) * 2 * n_ch], "<i2")
+    if n_ch > 1:
+        x = (
+            x.reshape(-1, n_ch)
+            .mean(axis=1)
+            .round()
+            .astype(np.int16)
+        )
+    return x, int(sr)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode mono int16 samples as a PCM16 WAV byte string."""
+    pcm = np.asarray(samples, "<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_GRAY_W = np.array([0.299, 0.587, 0.114])
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode losslessly-compressed media rows (image/png, audio/wav) to
+    the RAW row format (image/x-raw-gray, audio/L16) the DSP operators
+    consume; raw rows pass through unchanged. Runs in mapInPandas — the
+    same plumbing a PIL/ffmpeg deployment would use. Rows whose mime
+    needs an external codec (jpeg/mp3/h264/...) raise
+    NotImplementedError: decode requires PIL/ffmpeg, unavailable here."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, buf, meta in zip(
+                pdf["media_id"], pdf["media"], pdf["meta"]
+            ):
+                mime = (meta["mime"] or "").lower()
+                if mime == "image/png":
+                    img = decode_png(bytes(buf))
+                    if img.ndim == 3:  # luma conversion for raw-gray
+                        img = (
+                            (img[:, :, :3] @ _GRAY_W).round()
+                            .clip(0, 255)
+                            .astype(np.uint8)
+                        )
+                    h, w = img.shape
+                    out.append((mid, img.tobytes(), {
+                        "kind": "image", "mime": "image/x-raw-gray",
+                        "width": w, "height": h, "duration_ms": None,
+                    }))
+                elif mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+                    x, sr = decode_wav(bytes(buf))
+                    out.append((mid, x.astype("<i2").tobytes(), {
+                        "kind": "audio", "mime": "audio/L16",
+                        "width": None, "height": None,
+                        "duration_ms": int(1000 * x.size / sr) if sr else 0,
+                    }))
+                elif mime in ("image/x-raw-gray", "audio/L16"):
+                    out.append((mid, bytes(buf), dict(meta)))
+                else:
+                    raise NotImplementedError(
+                        f"{mid}: decoding {mime!r} requires PIL/ffmpeg — "
+                        "not available in this environment (png/wav/raw "
+                        "are decoded natively)"
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "media", "meta"])
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synthesize_codec_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic REAL-format media table: even ids carry PCM16 WAV
+    audio, odd ids carry 8-bit grayscale PNG images — real encoded bytes
+    (this module's own encoders), so the decode path is exercised
+    end-to-end without any external library."""
+    base = spark.range(n_rows)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                if i % 2 == 0:
+                    sr = 16_000
+                    t = np.arange(sr // 4) / sr
+                    freq = 220.0 + (i % 16) * 110.0
+                    x = 0.4 * np.sin(2 * np.pi * freq * t)
+                    x += 0.001 * rng.standard_normal(t.size)
+                    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+                    out.append((f"m-{i:06d}", encode_wav(pcm, sr), {
+                        "kind": "audio", "mime": "audio/wav",
+                        "width": None, "height": None, "duration_ms": 250,
+                    }))
+                else:
+                    w, h = 48 + (i % 4) * 16, 32 + (i % 3) * 16
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = ((xx * yy) % 251).astype(np.uint8)
+                    out.append((f"m-{i:06d}", encode_png(img), {
+                        "kind": "image", "mime": "image/png",
+                        "width": w, "height": h, "duration_ms": None,
+                    }))
+            yield pd.DataFrame(out, columns=["media_id", "media", "meta"])
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
