@@ -620,6 +620,10 @@ def _with_ann_recall(ann, exact):
     fraction of the exact neighbour list the ANN list captured (constant
     across an id_a's rows). Pins result QUALITY in the driver's value
     hash, not just determinism of the bucketing."""
+    # both legs feed two consumers (hits join + final projection);
+    # persist so the bucket self-join / brute-force scoring runs once
+    ann = ann.persist()
+    exact = exact.persist()
     hits = (
         ann.join(exact.select("id_a", "id_b"), ["id_a", "id_b"])
         .groupBy("id_a")

@@ -475,23 +475,134 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbour of u to min(N(u) ∪ {u})."""
+    nbrs = _symmetrize(edges)
+    mn = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+    )
+    return (
+        nbrs.join(mn, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Direct each edge high→low, then connect u and all its smaller
+    neighbours to the smallest of them."""
+    d = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mn = d.groupBy("u").agg(F.min("v").alias("m"))
+    to_min = (
+        d.join(mn, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = mn.select("u", F.col("m").alias("v"))
+    return (
+        to_min.unionByName(self_edge)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor, not sum: a sum of 2^63-range hashes overflows under ANSI
+    # mode; xor is order-independent and cannot overflow
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def star_components(
+    pairs: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): converges in O(log n) rounds REGARDLESS of graph
+    diameter, where plain min-label propagation needs diameter rounds.
+    The scale path for chain-shaped duplicate graphs (e.g. boilerplate
+    documents forming long similarity chains at web scale).
+
+    Each round is two groupBy-join passes over the current edge set; the
+    edge set only shrinks toward the star graph of each component, and
+    convergence is detected on a (count, hash-sum) checksum — one
+    KB-sized aggregate per round."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edge_checksum(edges)
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        log.warning(
+            "star_components: did not converge within %d rounds",
+            max_iterations,
+        )
+    # converged edges form stars centred at each component's min id
+    labels = (
+        _symmetrize(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.col("_mv")).alias("cluster_id"),
+        )
+    )
+    return labels
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components over a near-duplicate pair set: every doc that
     appears in a pair gets the component label min(reachable doc_id).
     The survivor-selection step of a dedup pipeline — keep label == id.
 
-    Iterative min-label propagation (the simplified large-star/small-star
-    BSP shape): each round joins the current labels across the edge set
-    and takes the min neighbour label; rounds needed = graph diameter
-    (near-dup clusters are tiny, so 2-3 in practice; hard cap
-    ``max_iterations``). Each round is one shuffle on id; label state is
-    (id, label) only — no adjacency materialisation beyond the input
-    edges, so it scales to billions of edges. Converged when no label
-    changed (checked on the KB-sized changed-count aggregate).
+    ``method="label"`` (default): iterative min-label propagation — each
+    round joins the current labels across the edge set and takes the min
+    neighbour label; rounds needed = graph diameter (near-dup clusters
+    are tiny, so 2-3 in practice; hard cap ``max_iterations``). Each
+    round is one shuffle on id; label state is (id, label) only — no
+    adjacency materialisation beyond the input edges, so it scales to
+    billions of edges. Converged when no label changed (checked on the
+    KB-sized changed-count aggregate); warns if the cap is hit first.
+
+    ``method="star"``: delegates to :func:`star_components` — O(log n)
+    rounds regardless of diameter. Use when the duplicate graph may
+    contain long chains (same labels, different convergence behaviour).
     """
+    if method == "star":
+        return star_components(pairs, max_iterations)
+    if method != "label":
+        raise ValueError(f"unknown method {method!r} (use 'label'/'star')")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(

@@ -44,6 +44,10 @@ class CurateConfig:
     min_jaccard: float = 0.8
     shingle_n: int = 3
     jaccard_df_max: int | None = 1000
+    # hot-bucket cap for MinHash candidate generation (None = off): a
+    # degenerate band bucket of L docs yields L² candidate pairs; capping
+    # bounds the worst bucket at bucket_max² — see dedup._cap_hot_buckets
+    minhash_bucket_max: int | None = None
     # quality gate
     max_punct_ratio: float = 0.3
     min_chars: int = 10
@@ -125,6 +129,7 @@ def curate(
             num_perm=cfg.minhash_num_perm,
             bands=cfg.minhash_bands,
             min_jaccard=cfg.min_jaccard,
+            bucket_max=cfg.minhash_bucket_max,
         ).select("id_a", "id_b")
         cand_docs = (
             cand.select(F.col("id_a").alias(cfg.id_col))

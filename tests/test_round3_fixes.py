@@ -218,3 +218,58 @@ def test_near_dup_clusters_warns_on_iteration_cap(spark, caplog):
         labels = {r["cluster_id"] for r in done.collect()}
     assert labels == {0}
     assert not any("did not converge" in r.message for r in caplog.records)
+
+
+# --- alternating-star connected components ---------------------------------
+
+
+def test_star_components_matches_label_propagation(spark):
+    import random
+
+    random.seed(13)
+    # random graph: 3 planted components + noise edges inside them
+    comp_nodes = [list(range(i * 100, i * 100 + 30)) for i in range(3)]
+    edges = []
+    for nodes in comp_nodes:
+        # spanning chain guarantees connectivity, extras add cycles
+        edges += [(a, b, 1.0) for a, b in zip(nodes, nodes[1:])]
+        edges += [
+            (random.choice(nodes), random.choice(nodes), 1.0)
+            for _ in range(20)
+        ]
+    edges = [(a, b, j) for a, b, j in edges if a != b]
+    pairs = spark.createDataFrame(
+        edges, "id_a long, id_b long, jaccard double"
+    )
+    via_label = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.near_dup_clusters(pairs, method="label").collect()
+    }
+    via_star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.near_dup_clusters(pairs, method="star").collect()
+    }
+    assert via_star == via_label
+    assert {c for _, c in via_star} == {0, 100, 200}
+
+
+def test_star_components_long_chain_converges_fast(spark):
+    # path graph of diameter 120: label propagation would need ~120
+    # rounds; the alternating-star rounds are logarithmic, so the default
+    # cap is plenty
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(120)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = dedup.star_components(pairs, max_iterations=12)
+    rows = out.collect()
+    assert len(rows) == 121
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_near_dup_clusters_rejects_unknown_method(spark):
+    pairs = spark.createDataFrame(
+        [(0, 1, 1.0)], "id_a long, id_b long, jaccard double"
+    )
+    with pytest.raises(ValueError, match="unknown method"):
+        dedup.near_dup_clusters(pairs, method="nope")
