@@ -621,9 +621,12 @@ def _with_ann_recall(ann, exact):
     across an id_a's rows). Pins result QUALITY in the driver's value
     hash, not just determinism of the bucketing."""
     # both legs feed two consumers (hits join + final projection);
-    # persist so the bucket self-join / brute-force scoring runs once
-    ann = ann.persist()
-    exact = exact.persist()
+    # localCheckpoint (not persist) so the bucket self-join / brute-force
+    # scoring runs once AND the cached blocks are GC-freed with the
+    # DataFrame reference — repeated driver/bench invocations don't
+    # accumulate pinned storage
+    ann = ann.localCheckpoint(eager=True)
+    exact = exact.localCheckpoint(eager=True)
     hits = (
         ann.join(exact.select("id_a", "id_b"), ["id_a", "id_b"])
         .groupBy("id_a")

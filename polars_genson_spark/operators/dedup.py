@@ -46,12 +46,18 @@ def _cap_hot_buckets(
         .persist()
     )
     n_hot = hot.count()
-    if n_hot:
-        log.warning(
-            "%s: dropping %d bucket(s) with > %d entries from candidate "
-            "generation (pairs from these buckets are not examined)",
-            what, n_hot, bucket_max,
-        )
+    if not n_hot:
+        # common case: no degenerate bucket — release the cached rollup
+        # immediately and skip the anti-join entirely
+        hot.unpersist()
+        return entries
+    log.warning(
+        "%s: dropping %d bucket(s) with > %d entries from candidate "
+        "generation (pairs from these buckets are not examined)",
+        what, n_hot, bucket_max,
+    )
+    # the persisted hot list stays pinned until the anti-join below is
+    # consumed; Spark's ContextCleaner releases it with the reference
     return entries.join(
         F.broadcast(hot.select(*key_cols)), key_cols, "left_anti"
     )
@@ -546,6 +552,14 @@ def star_components(
     edge set only shrinks toward the star graph of each component, and
     convergence is detected on a (count, hash-sum) checksum — one
     KB-sized aggregate per round."""
+    # every endpoint must appear in the output even if its only pair is
+    # a self-pair (u == v) — method="label" keeps such nodes with
+    # label == id, and the two methods must agree row-for-row
+    all_nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -564,7 +578,8 @@ def star_components(
             "star_components: did not converge within %d rounds",
             max_iterations,
         )
-    # converged edges form stars centred at each component's min id
+    # converged edges form stars centred at each component's min id;
+    # isolated nodes (self-pairs only) label themselves
     labels = (
         _symmetrize(edges)
         .groupBy("u")
@@ -574,7 +589,10 @@ def star_components(
             F.least(F.col("u"), F.col("_mv")).alias("cluster_id"),
         )
     )
-    return labels
+    return all_nodes.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 def near_dup_clusters(
@@ -646,17 +664,34 @@ def near_dup_clusters(
             old.unpersist()
         if changed == 0:
             break
-    edges.unpersist()
     if changed != 0:
-        # silent non-convergence would split clusters, so downstream
-        # keep-cluster-min survivor selection would retain duplicates
-        # with no signal — surface it instead of returning quietly
-        log.warning(
-            "near_dup_clusters: label propagation did not converge within "
-            "%d iterations — returned clusters may be split (graph "
-            "diameter exceeds the cap; raise max_iterations)",
-            max_iterations,
+        # the final allowed iteration applied a change, so convergence is
+        # undetermined: probe whether any label would STILL move (one
+        # extra rollup-sized aggregate, only on this path) — warning on a
+        # run that converged exactly at the cap would cry wolf
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
         )
+        pending = (
+            labels.join(neighbour_min, labels.id == neighbour_min.src)
+            .where(F.col("nbr_label") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+        if pending:
+            # silent non-convergence would split clusters, so downstream
+            # keep-cluster-min survivor selection would retain duplicates
+            # with no signal — surface it instead of returning quietly
+            log.warning(
+                "near_dup_clusters: label propagation did not converge "
+                "within %d iterations — returned clusters may be split "
+                "(graph diameter exceeds the cap; raise max_iterations, "
+                "or use method='star' which converges in O(log n) rounds)",
+                max_iterations,
+            )
+    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -495,6 +495,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             pcm = body
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(
+            f"WAV fmt chunk truncated ({len(fmt)} bytes, need 16)"
+        )
     audio_format, n_ch, sr = struct.unpack("<HHI", fmt[:8])
     bits = struct.unpack("<H", fmt[14:16])[0]
     if audio_format != 1 or bits != 16:
@@ -563,7 +567,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                         "width": None, "height": None,
                         "duration_ms": int(1000 * x.size / sr) if sr else 0,
                     }))
-                elif mime in ("image/x-raw-gray", "audio/L16"):
+                elif mime in ("image/x-raw-gray", "audio/l16"):
                     out.append((mid, bytes(buf), dict(meta)))
                 else:
                     raise NotImplementedError(

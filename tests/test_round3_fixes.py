@@ -273,3 +273,54 @@ def test_near_dup_clusters_rejects_unknown_method(spark):
     )
     with pytest.raises(ValueError, match="unknown method"):
         dedup.near_dup_clusters(pairs, method="nope")
+
+
+# --- review fixes: self-pairs, exact-cap convergence, raw passthrough ------
+
+
+def test_star_keeps_self_pair_only_nodes(spark):
+    pairs = spark.createDataFrame(
+        [(5, 5, 1.0), (1, 2, 1.0)], "id_a long, id_b long, jaccard double"
+    )
+    label = {(r["doc_id"], r["cluster_id"]) for r in
+             dedup.near_dup_clusters(pairs, method="label").collect()}
+    star = {(r["doc_id"], r["cluster_id"]) for r in
+            dedup.near_dup_clusters(pairs, method="star").collect()}
+    assert star == label == {(5, 5), (1, 1), (2, 1)}
+
+
+def test_no_false_warning_when_converged_at_cap(spark, caplog):
+    # path 0-1-2 converges in exactly 2 rounds; cap == 2 must NOT warn
+    pairs = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "id_a long, id_b long, jaccard double"
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="polars_genson_spark.operators.dedup"):
+        out = dedup.near_dup_clusters(pairs, max_iterations=2)
+        labels = {r["cluster_id"] for r in out.collect()}
+    assert labels == {0}
+    assert not any("did not converge" in r.message for r in caplog.records)
+
+
+def test_decode_media_passthrough_raw_rows(spark):
+    from polars_genson_spark.operators import multimodal as mm
+
+    raw = mm.synthesize_raw_media(spark, 6, seed=2)
+    # idempotent: decoding already-raw rows passes them through unchanged
+    once = {r["media_id"]: bytes(r["media"])
+            for r in mm.decode_media(raw).collect()}
+    direct = {r["media_id"]: bytes(r["media"]) for r in raw.collect()}
+    assert once == direct
+
+
+def test_decode_wav_truncated_fmt_raises_valueerror():
+    import struct
+
+    from polars_genson_spark.operators import multimodal as mm
+
+    fmt = struct.pack("<HHI", 1, 1, 8000)  # only 8 bytes
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav(wav)
