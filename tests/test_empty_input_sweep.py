@@ -27,7 +27,9 @@ RAISES_ON_EMPTY = {
     "normalise_decode_events",
 }
 # synthesizes its own input — empty tables are irrelevant
-SELF_CONTAINED = {"multimodal_features", "pcm_audio_features"}
+SELF_CONTAINED = {
+    "multimodal_features", "pcm_audio_features", "codec_features",
+}
 # global aggregates (no GROUP BY): SQL semantics give exactly ONE row of
 # NULL aggregates over empty input — DuckDB's oracle answer is the same
 # single row, so parity holds; the sweep just expects 1, not 0
