@@ -841,6 +841,21 @@ def q_schema_drift_events(spark, sf_dir):
     )
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Real BPE: merges trained from the corpus's distributed word-count
+    rollup (deterministic tie-breaks), applied via mapInPandas with a
+    per-unique-word cache. rows-only: BPE segmentation is an iterative
+    merge loop, not SQL-expressible."""
+    from polars_genson_spark.operators.tokenizer import (
+        bpe_tokenize,
+        train_bpe,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    merges = train_bpe(d, n_merges=60)
+    return bpe_tokenize(d, merges)
+
+
 def q_codec_features(spark, sf_dir):
     """REAL decode of REAL encoded bytes on the executors: PNG images and
     PCM16 WAV audio (this repo's stdlib-only codecs, no PIL/ffmpeg) →
@@ -1444,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "pcm_audio_features": q_pcm_audio_features,
         "codec_features": q_codec_features,
+        "bpe_tokenize_docs": q_bpe_tokenize,
         "hll_uniqueness": q_hll_uniqueness,
     }
 

@@ -1,0 +1,159 @@
+"""Real byte-pair-encoding tokenizer, trained and applied Spark-first.
+
+The reference engine has no tokenizer; this implements the standard BPE
+algorithm (Sennrich et al. 2016) in the shape a 100 TB pipeline needs:
+
+- **Training** is a distributed word-frequency rollup (one groupBy over
+  the exploded corpus — the only corpus-sized pass) followed by the
+  classic merge loop on the collected vocabulary. The collected state is
+  (word, count) pairs, vocabulary-sized, NOT corpus-sized; capping at
+  ``max_words`` (highest-frequency words carry almost all pair mass)
+  bounds driver memory the way real BPE trainers subsample. At 100 TB
+  you train once on this rollup and broadcast the merge table
+  everywhere.
+
+- **Application** broadcasts the KB-sized merge ranks and tokenizes in
+  ``mapInPandas`` with a per-unique-word cache: within an Arrow batch,
+  each distinct word is BPE-segmented once (Zipf makes the cache hit
+  rate extreme on natural text). This is the honest Python path — a
+  production deployment swaps the inner loop for a compiled tokenizer
+  with the SAME Spark plumbing.
+
+Determinism: pair-count ties break lexicographically, so a merge table
+trained from the same rollup is identical on every run and machine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker (standard BPE word-boundary symbol)
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the lowercased whitespace-split corpus — the
+    single corpus-sized pass of BPE training (map-side combined)."""
+    words = F.explode(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+            " ",
+        )
+    )
+    return (
+        df.select(words.alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
+    merge list (rank = position). Driver work is O(vocab), not O(corpus):
+    only the top-``max_words`` (word, count) rows are collected."""
+    rows = (
+        word_counts(df, text_col)
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    # symbol sequences per word, weighted by corpus frequency
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        syms = tuple(r["word"]) + (END,)
+        vocab[syms] = vocab.get(syms, 0) + int(r["count"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + cnt
+        if not pair_counts:
+            break
+        # deterministic: max count, then lexicographically smallest pair
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def _segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges to one word, lowest-rank pair first (standard BPE)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """(id, bpe_tokens array<string>, n_bpe) — merge table broadcast via
+    closure, per-unique-word segmentation cache per executor batch."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = f"{id_col} long, {out_col} array<string>, n_bpe int"
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").lower().split()
+                doc_tokens: list[str] = []
+                for w in words:
+                    seg = cache.get(w)
+                    if seg is None:
+                        seg = _segment(w, ranks)
+                        cache[w] = seg
+                    doc_tokens.extend(seg)
+                ids.append(i)
+                toks.append(doc_tokens)
+                ns.append(len(doc_tokens))
+            yield pd.DataFrame(
+                {id_col: ids, out_col: toks, "n_bpe": ns}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def bpe_vocabulary(merges: list[tuple[str, str]]) -> list[str]:
+    """The token strings the merge table can produce (merged symbols
+    only; single characters and END are implicitly in-vocab)."""
+    return [a + b for a, b in merges]

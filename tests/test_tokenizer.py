@@ -1,0 +1,94 @@
+"""Real BPE tokenizer: training semantics vs a hand-computed example,
+determinism, and the distributed application path."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_genson_spark.operators.tokenizer import (
+    _segment,
+    bpe_tokenize,
+    bpe_vocabulary,
+    train_bpe,
+    word_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # classic BPE toy corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    docs = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+
+
+def test_word_counts(tiny):
+    wc = {r["word"]: r["count"] for r in word_counts(tiny).collect()}
+    assert wc == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_train_bpe_matches_hand_computation(tiny):
+    merges = train_bpe(tiny, n_merges=4)
+    # Pair counts round 1: ('e','s') 9, ('s','t') 9, ('t','</w>') 9,
+    # ('l','o') 7, ('o','w') 7, ... → tie on 9 broken lexicographically:
+    # ('e','s') first, then ('es','t'), then ('est','</w>'), then the
+    # 7-weight tie ('l','o').
+    assert merges == [
+        ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")
+    ]
+    assert bpe_vocabulary(merges) == ["es", "est", "est</w>", "lo"]
+
+
+def test_train_bpe_deterministic(tiny):
+    assert train_bpe(tiny, n_merges=6) == train_bpe(tiny, n_merges=6)
+
+
+def test_segment_applies_lowest_rank_first():
+    ranks = {("e", "s"): 0, ("es", "t"): 1, ("est", "</w>"): 2, ("l", "o"): 3}
+    assert _segment("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert _segment("low", ranks) == ["lo", "w", "</w>"]
+    assert _segment("", ranks) == ["</w>"]
+
+
+def test_bpe_tokenize_distributed(tiny, spark):
+    merges = train_bpe(tiny, n_merges=4)
+    out = {r["doc_id"]: r for r in bpe_tokenize(tiny, merges).collect()}
+    assert out[0]["bpe_tokens"] == ["lo", "w", "</w>"]      # "low"
+    newest = next(
+        r for r in out.values() if r["bpe_tokens"][:1] == ["n"]
+    )
+    assert newest["bpe_tokens"] == ["n", "e", "w", "est</w>"]
+    assert all(r["n_bpe"] == len(r["bpe_tokens"]) for r in out.values())
+
+
+def test_bpe_on_real_documents(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where("doc_id < 100")
+    )
+    merges = train_bpe(docs, n_merges=50)
+    assert len(merges) == 50
+    out = bpe_tokenize(docs, merges)
+    rows = out.collect()
+    assert len(rows) == 100
+    # merged tokens actually appear (the tokenizer compresses)
+    from polars_genson_spark.operators.text import with_token_counts
+
+    ws = {
+        r["doc_id"]: r["n_ws_tokens"]
+        for r in with_token_counts(docs).collect()
+    }
+    for r in rows:
+        # BPE emits at least one token per word but fewer symbols than
+        # pure characters; n_bpe >= whitespace words (END markers) unless
+        # text is empty/null
+        if ws.get(r["doc_id"], 0) > 0:
+            assert r["n_bpe"] >= ws[r["doc_id"]]
+
+
+def test_driver_query_bpe(spark):
+    import __spark_entry__ as E
+
+    out = E.queries()["bpe_tokenize_docs"](spark, "/root/testdata/sf0.001")
+    assert out.count() == 100
