@@ -344,6 +344,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="optional column to sort within files (row-group "
                          "min/max stats then prune scans on this key)")
 
+    tk = sub.add_parser(
+        "tokenize",
+        help="train a BPE tokenizer on a text corpus and emit the "
+             "pre-tokenized (doc_id, tokens, n_tok, source) table that "
+             "`validate` consumes",
+    )
+    tk.add_argument("--input", required=True, help="documents parquet")
+    tk.add_argument("--output", required=True, help="token table parquet")
+    tk.add_argument("--n-merges", type=int, default=500)
+    tk.add_argument("--max-words", type=int, default=50_000)
+
     b = sub.add_parser("bench-one", help="one pinned throughput measurement")
     b.add_argument("--rows", type=int, required=True)
     b.add_argument("--cores", type=int, required=True)
@@ -397,6 +408,45 @@ def main(argv: list[str] | None = None) -> int:
             result = curate(docs, benchmark, cfg, embeddings=embeddings)
             result.chunks.write.mode("overwrite").parquet(args.output)
             print(json.dumps(result.summary()))
+            return 0
+        if args.cmd == "tokenize":
+            from .operators.tokenizer import (
+                bpe_tokenize_ids,
+                train_bpe_with_vocab,
+            )
+
+            docs = spark.read.parquet(args.input)
+            merges, vocab = train_bpe_with_vocab(
+                docs, n_merges=args.n_merges, max_words=args.max_words
+            )
+            toks = bpe_tokenize_ids(docs, merges, vocab)
+            if "source" in docs.columns:
+                toks = toks.join(
+                    docs.select("doc_id", "source"), "doc_id"
+                )
+            else:
+                toks = toks.withColumn("source", F.lit("UNKNOWN"))
+            out = toks.select(
+                F.col("doc_id").cast("string"), "tokens", "n_tok", "source"
+            )
+            repartition_salted(out).write.mode("overwrite").parquet(
+                args.output
+            )
+            # sidecar: the tokenizer artifact a validate run needs
+            # (vocab_size bounds the token-range check exactly)
+            with open(
+                os.path.join(args.output, "_tokenizer.json"), "w"
+            ) as fh:
+                json.dump(
+                    {"merges": merges, "vocab_size": len(vocab)}, fh
+                )
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({
+                "rows": n,
+                "n_merges": len(merges),
+                "vocab_size": len(vocab),
+                "output": args.output,
+            }))
             return 0
         if args.cmd == "compact":
             import glob

@@ -48,6 +48,15 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _collect_word_rows(df: DataFrame, text_col: str, max_words: int):
+    return (
+        word_counts(df, text_col)
+        .orderBy(F.col("count").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+
+
 def train_bpe(
     df: DataFrame,
     n_merges: int = 200,
@@ -57,12 +66,12 @@ def train_bpe(
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge list (rank = position). Driver work is O(vocab), not O(corpus):
     only the top-``max_words`` (word, count) rows are collected."""
-    rows = (
-        word_counts(df, text_col)
-        .orderBy(F.col("count").desc(), F.col("word"))
-        .limit(max_words)
-        .collect()
+    return _train_from_rows(
+        _collect_word_rows(df, text_col, max_words), n_merges
     )
+
+
+def _train_from_rows(rows, n_merges: int) -> list[tuple[str, str]]:
     # symbol sequences per word, weighted by corpus frequency
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
@@ -157,3 +166,63 @@ def bpe_vocabulary(merges: list[tuple[str, str]]) -> list[str]:
     """The token strings the merge table can produce (merged symbols
     only; single characters and END are implicitly in-vocab)."""
     return [a + b for a, b in merges]
+
+
+def train_bpe_with_vocab(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Train merges AND build the token→id vocabulary: id 0 = <unk>,
+    id 1 = the end-of-word marker, then the corpus's base characters
+    (sorted), then merge products in rank order. Deterministic, so the
+    same corpus always yields the same ids — the property the validation
+    engine's token-range check relies on."""
+    rows = _collect_word_rows(df, text_col, max_words)  # ONE corpus pass
+    merges = _train_from_rows(rows, n_merges)
+    chars = sorted({c for r in rows for c in r["word"]})
+    vocab: dict[str, int] = {"<unk>": 0, END: 1}
+    for c in chars:
+        vocab.setdefault(c, len(vocab))
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    # merged-with-END products (e.g. "est</w>") get ids too
+    return merges, vocab
+
+
+def bpe_tokenize_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, tokens array<int>, n_tok) — the pre-tokenized-corpus
+    shape the validation engine consumes. Unknown tokens map to id 0."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = f"{id_col} long, tokens array<int>, n_tok int"
+
+    def run(batches):
+        cache: dict[str, list[int]] = {}
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = (text or "").lower().split()
+                doc: list[int] = []
+                for w in words:
+                    seg = cache.get(w)
+                    if seg is None:
+                        seg = [
+                            vocab.get(s, 0) for s in _segment(w, ranks)
+                        ]
+                        cache[w] = seg
+                    doc.extend(seg)
+                ids.append(i)
+                toks.append(doc)
+                ns.append(len(doc))
+            yield pd.DataFrame({id_col: ids, "tokens": toks, "n_tok": ns})
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)

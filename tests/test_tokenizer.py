@@ -92,3 +92,40 @@ def test_driver_query_bpe(spark):
 
     out = E.queries()["bpe_tokenize_docs"](spark, "/root/testdata/sf0.001")
     assert out.count() == 100
+
+
+def test_tokenize_then_validate_chain(spark):
+    """The full story: text docs → BPE ids → the validation engine's
+    pre-tokenized contract. By construction every token id is inside
+    [0, vocab_size) and n_tok == size(tokens), so consistency and
+    referential checks pass with the right allowed dim."""
+    from pyspark.sql import functions as F
+
+    from polars_genson_spark.config import ValidationConfig
+    from polars_genson_spark.operators.tokenizer import (
+        bpe_tokenize_ids,
+        train_bpe_with_vocab,
+    )
+    from polars_genson_spark.operators.verdicts import validate_corpus
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where("doc_id < 200")
+    )
+    merges, vocab = train_bpe_with_vocab(docs, n_merges=80)
+    toks = (
+        bpe_tokenize_ids(docs, merges, vocab)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            F.col("doc_id").cast("string"), "tokens", "n_tok", "source"
+        )
+    )
+    allowed = docs.select("source").distinct()
+    rep = validate_corpus(
+        toks, allowed, ValidationConfig(vocab_size=len(vocab))
+    )
+    rows = rep.verdicts.collect()
+    assert rows
+    assert all(r["consistency_violations"] == 0 for r in rows)
+    assert all(r["referential_violations"] == 0 for r in rows)
+    assert all(r["null_tokens"] == 0 for r in rows)
