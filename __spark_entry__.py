@@ -579,6 +579,21 @@ def q_stratified_sample_docs(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Multinomial temperature mixing (share ∝ count^(1/T), T=2):
+    rollup → driver rates → zero-shuffle filter. mod method so DuckDB
+    replicates the keep decision; the rate derivation is fixed-order
+    double math both engines reproduce bit-for-bit."""
+    from polars_genson_spark.operators.sample import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    # scale=100 ≤ id range (sf0.01 ids span 0..499) so mod actually samples
+    out = temperature_mix(
+        d, target_rows=300, temperature=2.0, method="mod", scale=100
+    )
+    return out.select("doc_id", "source")
+
+
 def q_repetition_trigrams(spark, sf_dir):
     """Gopher-style repetition signal over raw (non-distinct) trigrams."""
     from polars_genson_spark.operators.text import repetition_stats
@@ -1452,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_words_source": q_top_words_source,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "vector_search": q_vector_search,
+        "temperature_mix_docs": q_temperature_mix,
         # rows-only (hash-seed-dependent / HLL / synthetic media)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -2280,6 +2296,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE (source = 'src0' AND doc_id % 2 < 1)
                OR (source = 'src1' AND doc_id % 10 < 1)
                OR (source NOT IN ('src0', 'src1') AND doc_id % 5 < 1)
+        """,
+        # temperature mixing: rate derivation mirrors sample.py
+        # temperature_rates EXACTLY — pow(n, 0.5) (T=2), weight total via
+        # list_sum over source-sorted weights (fixed accumulation order,
+        # matching the driver's sorted loop), ((w/tw)*target)/n op order,
+        # floor-truncation to micro-units
+        "temperature_mix_docs": """
+            WITH c AS (
+                SELECT source, count(*) AS n FROM documents
+                WHERE source IS NOT NULL GROUP BY source
+            ),
+            w AS (SELECT source, n, pow(n, 0.5) AS w FROM c),
+            tot AS (
+                SELECT list_sum(list(w ORDER BY source)) AS tw FROM w
+            ),
+            r AS (
+                SELECT source,
+                       least(100, CAST(floor(
+                           ((w / tot.tw) * 300) / n * 100
+                       ) AS BIGINT)) AS num
+                FROM w CROSS JOIN tot
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE d.doc_id % 100 < r.num
         """,
         "repetition_trigrams": """
             WITH w AS (

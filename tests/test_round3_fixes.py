@@ -324,3 +324,39 @@ def test_decode_wav_truncated_fmt_raises_valueerror():
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="truncated"):
         mm.decode_wav(wav)
+
+
+# --- temperature mixing ----------------------------------------------------
+
+
+def test_temperature_rates_math():
+    from polars_genson_spark.operators.sample import temperature_rates
+
+    counts = {"big": 900, "small": 100}
+    # T=2: weights 30 / 10 → shares 0.75 / 0.25 of 200 target
+    rates = temperature_rates(counts, target_rows=200, temperature=2.0)
+    assert rates["big"] == (int(0.75 * 200 / 900 * 1e6), 1_000_000)
+    assert rates["small"] == (int(0.25 * 200 / 100 * 1e6), 1_000_000)
+    # T→∞ approaches uniform shares
+    flat = temperature_rates(counts, target_rows=200, temperature=1e9)
+    assert abs(flat["big"][0] / 1e6 - 0.5 * 200 / 900) < 1e-3
+    # keep fraction caps at 1 even when the target over-asks a source
+    capped = temperature_rates({"a": 10, "b": 1000}, 2000, temperature=1.0)
+    assert capped["a"] == (1_000_000, 1_000_000)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_rates(counts, 10, temperature=0)
+
+
+def test_temperature_mix_flattens_skew(spark):
+    from polars_genson_spark.operators.sample import temperature_mix
+
+    rows = [(i, "head") for i in range(900)]
+    rows += [(i + 1000, "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mix(df, target_rows=400, temperature=2.0)
+    got = out.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    # T=2 shares: head 0.75, tail 0.25 → ~300 / ~100 (hash sampling is
+    # approximate; generous bounds)
+    assert 220 <= by["head"] <= 380
+    assert 60 <= by["tail"] <= 100  # tail keep-rate hits the cap at 1.0
