@@ -705,6 +705,20 @@ def q_embedding_topk_ivf(spark, sf_dir):
     return _with_ann_recall(ann, pairwise_topk(e, k=3))
 
 
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-level decontamination: corpus vectors τ-close to any
+    benchmark vector (bench = vec_id % 37 == 0 slice). Cross-table LSH
+    blocking with the benchmark side broadcast."""
+    from polars_genson_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    bench = e.where(F.col("vec_id") % 37 == 0)
+    corpus = e.where(F.col("vec_id") % 37 != 0)
+    return semantic_decontaminate(corpus, bench, dim=64, threshold=0.2)
+
+
 def q_multimodal_features(spark, sf_dir):
     from polars_genson_spark.operators.multimodal import (
         extract_features,
@@ -1338,6 +1352,39 @@ def _near_dupes_sql(
     """
 
 
+def _semantic_decon_sql(
+    n_vec: int, n_planes: int, n_tables: int, seed: int, threshold: float
+) -> str:
+    """Cross-table LSH decontamination oracle: bench = vec_id % 37 == 0,
+    corpus = the rest; same shared sig CTE, corpus×bench bucket join,
+    per-corpus-id best match by (cosine DESC, bench_id ASC)."""
+    return f"""
+    WITH {_NORMED_CTE.format(n_vec=n_vec)},
+    {_lsh_candidates_cte(n_planes, n_tables, seed)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id, b.vec_id AS bench_id
+        FROM sig a JOIN sig b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id % 37 <> 0 AND b.vec_id % 37 = 0
+    ),
+    scored AS (
+        SELECT c.id, c.bench_id,
+               round(list_dot_product(na.vn, nb.vn), 6) AS cosine
+        FROM cand c
+        JOIN n na ON na.vec_id = c.id
+        JOIN n nb ON nb.vec_id = c.bench_id
+    ),
+    ranked AS (
+        SELECT id, bench_id, cosine,
+               row_number() OVER (
+                   PARTITION BY id ORDER BY cosine DESC, bench_id
+               ) AS r
+        FROM scored WHERE cosine >= {threshold}
+    )
+    SELECT id, cosine AS max_cosine, bench_id FROM ranked WHERE r = 1
+    """
+
+
 def _ivf_topk_sql(n_vec: int, n_centroids: int, n_probe: int, seed: int, k: int) -> str:
     from polars_genson_spark.operators.similarity import _hyperplanes
 
@@ -1468,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "vector_search": q_vector_search,
         "temperature_mix_docs": q_temperature_mix,
+        "semantic_decontaminate_docs": q_semantic_decontaminate,
         # rows-only (hash-seed-dependent / HLL / synthetic media)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -2396,6 +2444,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_near_dupes": _near_dupes_sql(
             n_vec=300, n_planes=6, n_tables=6, seed=42, threshold=0.3
+        ),
+        "semantic_decontaminate_docs": _semantic_decon_sql(
+            n_vec=300, n_planes=6, n_tables=6, seed=42, threshold=0.2
         ),
         "embedding_topk_ivf": _ivf_topk_sql(
             n_vec=200, n_centroids=8, n_probe=2, seed=7, k=3

@@ -575,3 +575,73 @@ def semantic_dedup(
         )
     )
 
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-level decontamination: corpus items whose embedding is
+    ``threshold``-close (cosine) to ANY benchmark item — catches
+    paraphrased eval-set leakage the n-gram decontaminator
+    (operators/decontaminate.py) cannot see.
+
+    Scale shape: BOTH sides get the same multi-table LSH signatures
+    (shared hyperplanes, so near-identical vectors collide with high
+    probability per table); the join is corpus-entries × benchmark-
+    entries on (table, bucket) with the benchmark side broadcast (eval
+    sets are small — thousands of rows × n_tables entries). Comparisons
+    are bounded by benchmark bucket populations, never |corpus|×|bench|.
+
+    Returns (id, max_cosine, bench_id) — one row per contaminated
+    corpus item, with the closest benchmark match (ties broken by
+    lowest bench id at equal cosine)."""
+    c = _multi_table_tagged(
+        corpus, dim, n_planes, n_tables, id_col, vec_col, seed
+    )
+    b = _multi_table_tagged(
+        benchmark, dim, n_planes, n_tables, id_col, vec_col, seed
+    )
+    pairs = (
+        c.alias("c")
+        .join(
+            F.broadcast(b.alias("b")),
+            (F.col("c.table") == F.col("b.table"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("c.id").alias("id"),
+            F.col("b.id").alias("bench_id"),
+            F.col("c.vec_norm").alias("vc"),
+            F.col("b.vec_norm").alias("vb"),
+        )
+        .dropDuplicates(["id", "bench_id"])
+        .select(
+            "id",
+            "bench_id",
+            F.round(_dot(F.col("vc"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    # one ordered struct picks both outputs: highest cosine, then lowest
+    # bench id on ties — the same (cosine DESC, bench_id ASC) rule an
+    # oracle expresses with row_number
+    best = F.struct(
+        F.col("cosine").alias("c"), (-F.col("bench_id")).alias("nb")
+    )
+    return (
+        pairs.groupBy("id")
+        .agg(F.max(best).alias("_m"))
+        .select(
+            "id",
+            F.col("_m.c").alias("max_cosine"),
+            (-F.col("_m.nb")).alias("bench_id"),
+        )
+    )

@@ -528,3 +528,33 @@ def test_minhash_recall_curve_properties():
     assert curve[0.3] > 0.5
     with pytest.raises(ValueError, match="divide"):
         minhash_recall_curve(32, 10)
+
+
+def test_semantic_decontaminate_planted(emb, spark):
+    """A corpus vector that is a near-copy of a benchmark vector is
+    flagged with ~1.0 cosine and the right bench id; orthogonal noise
+    vectors are not flagged at a high threshold."""
+    from polars_genson_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    bench = base.where(F.col("vec_id") < 20)
+    b0 = bench.where(F.col("vec_id") == 3).first()["embedding"]
+    leaked = [float(x) * 1.0001 for x in b0]
+    corpus = (
+        base.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+        .unionByName(
+            spark.createDataFrame(
+                [(9999, leaked)], "vec_id long, embedding array<float>"
+            )
+        )
+    )
+    out = {r["id"]: r for r in semantic_decontaminate(
+        corpus, bench, dim=64, threshold=0.9
+    ).collect()}
+    assert 9999 in out
+    assert out[9999]["bench_id"] == 3
+    assert out[9999]["max_cosine"] > 0.999
+    # synthetic vectors are near-orthogonal: nothing else crosses 0.9
+    assert set(out) == {9999}
