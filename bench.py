@@ -72,6 +72,11 @@ def main() -> None:
         "q9_profit_nation_year",
         "q13_order_count_dist",
         "range_join_events",
+        # round-3 additions (suite total grows accordingly; compare
+        # like-for-like over shared queries vs BENCH_r02)
+        "temperature_mix_docs",
+        "semantic_decontaminate_docs",
+        "bpe_tokenize_docs",
     ]
 
     for name in headline:

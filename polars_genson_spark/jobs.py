@@ -320,6 +320,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--no-near-dup", action="store_true")
     c.add_argument("--embeddings", default=None,
                    help="embeddings parquet enabling the SemDeDup stage")
+    c.add_argument("--benchmark-embeddings", default=None,
+                   help="benchmark embeddings parquet enabling semantic "
+                        "decontamination (requires --embeddings)")
     c.add_argument("--semantic-threshold", type=float, default=0.9)
     c.add_argument("--embedding-dim", type=int, default=64)
     c.add_argument("--semantic-clusters", type=int, default=8)
@@ -397,6 +400,11 @@ def main(argv: list[str] | None = None) -> int:
                 if args.embeddings
                 else None
             )
+            bench_emb = (
+                spark.read.parquet(args.benchmark_embeddings)
+                if args.benchmark_embeddings
+                else None
+            )
             cfg = CurateConfig(
                 chunk_size=args.chunk_size,
                 min_jaccard=args.min_jaccard,
@@ -405,7 +413,11 @@ def main(argv: list[str] | None = None) -> int:
                 embedding_dim=args.embedding_dim,
                 semantic_clusters=args.semantic_clusters,
             )
-            result = curate(docs, benchmark, cfg, embeddings=embeddings)
+            result = curate(
+                docs, benchmark, cfg,
+                embeddings=embeddings,
+                benchmark_embeddings=bench_emb,
+            )
             result.chunks.write.mode("overwrite").parquet(args.output)
             print(json.dumps(result.summary()))
             return 0

@@ -93,9 +93,15 @@ def curate(
     benchmark: DataFrame | None = None,
     cfg: CurateConfig | None = None,
     embeddings: DataFrame | None = None,
+    benchmark_embeddings: DataFrame | None = None,
 ) -> CurateResult:
     """Run the curation pipeline; returns the chunk table plus per-stage
-    surviving-row counts."""
+    surviving-row counts.
+
+    ``benchmark_embeddings`` (with ``embeddings``) enables the semantic
+    decontamination stage: docs whose embedding is τ-close to any
+    benchmark embedding are dropped — the paraphrase-level complement of
+    the n-gram ``benchmark`` stage."""
     cfg = cfg or CurateConfig()
     counts: dict[str, int] = {}
 
@@ -176,6 +182,24 @@ def curate(
         cur = stage(
             cur.join(dropped, cfg.id_col, "left_anti"),
             "semantic_dedup",
+        )
+
+    # 2c. semantic decontamination: embedding-level eval-leak catch
+    #     (paraphrases the n-gram stage below cannot see)
+    if embeddings is not None and benchmark_embeddings is not None:
+        from .operators.similarity import semantic_decontaminate
+
+        leaked = semantic_decontaminate(
+            embeddings,
+            benchmark_embeddings,
+            dim=cfg.embedding_dim,
+            threshold=cfg.semantic_threshold,
+            id_col=cfg.embedding_id_col,
+        ).select(F.col("id").alias(cfg.id_col))
+        # dup-rate-sized in the worst case — no broadcast hint (AQE picks)
+        cur = stage(
+            cur.join(leaked, cfg.id_col, "left_anti"),
+            "semantic_decontaminated",
         )
 
     # 3. benchmark decontamination

@@ -360,3 +360,33 @@ def test_temperature_mix_flattens_skew(spark):
     # approximate; generous bounds)
     assert 220 <= by["head"] <= 380
     assert 60 <= by["tail"] <= 100  # tail keep-rate hits the cap at 1.0
+
+
+def test_curate_semantic_decontamination_stage(spark):
+    """A doc whose embedding near-copies a benchmark embedding is dropped
+    by the semantic decontamination stage; others survive."""
+    from polars_genson_spark.pipeline import CurateConfig, curate
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with several words") for i in range(8)],
+        "doc_id long, text string",
+    ).withColumn("source", F.lit("s"))
+    dim = 8
+    base = [[1.0 if d == (i % dim) else 0.0 for d in range(dim)]
+            for i in range(8)]
+    emb = spark.createDataFrame(
+        [(i, base[i]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(100, [v * 1.001 for v in base[3]])],
+        "vec_id long, embedding array<double>",
+    )
+    cfg = CurateConfig(near_dup=False, embedding_dim=dim,
+                       semantic_threshold=0.95, min_chars=1)
+    res = curate(docs, cfg=cfg, embeddings=emb,
+                 benchmark_embeddings=bench_emb)
+    assert res.stage_counts["semantic_decontaminated"] == 7  # doc 3 gone
+    kept = {r["doc_id"] for r in
+            res.chunks.select("doc_id").distinct().collect()}
+    assert 3 not in kept
