@@ -245,3 +245,82 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+
+def stream_psi_drift(
+    stream: DataFrame,
+    reference_hist: dict[int, float],
+    cfg: ValidationConfig | None = None,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """Custom stateful operator: per-source RUNNING population-stability
+    index of the sequence-length distribution against a static reference
+    histogram — the streaming face of the batch PSI drift check
+    (operators/checks.py): a source whose length mix shifts away from
+    the reference (e.g. a scraper change mid-ingest) flips ``drifted``
+    without waiting for a batch job.
+
+    State = the source's cumulative per-bucket counts (a dict-sized
+    vector, KB per source); each micro-batch folds its rows in with
+    vectorized pandas, then PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over the
+    reference buckets (ε-smoothed like the batch implementation).
+    ``reference_hist``: {bucket → fraction}, bucket = n_tok //
+    cfg.token_hist_bucket — produce it from a trusted corpus slice with
+    the batch histogram operator and broadcast it here (KB-sized).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    cfg = cfg or ValidationConfig()
+    n_c = cfg.n_tok_col
+    width = cfg.token_hist_bucket
+    buckets = sorted(reference_hist)
+    eps = 1e-6
+
+    out_schema = (
+        "source string, rows_total long, psi double, drifted boolean"
+    )
+    state_schema = "counts array<long>, rows_total long"
+
+    def update(key, pdfs, state):
+        if state.exists:
+            counts, total = state.get
+            counts = list(counts)
+        else:
+            counts, total = [0] * len(buckets), 0
+        idx = {b: i for i, b in enumerate(buckets)}
+        for pdf in pdfs:
+            bs = (pdf[n_c].fillna(0) // width).astype(int)
+            total += len(pdf)
+            for b, c in bs.value_counts().items():
+                i = idx.get(int(b))
+                if i is not None:
+                    counts[i] += int(c)
+                # lengths outside every reference bucket still count
+                # toward the total, starving the known buckets' p — an
+                # out-of-range shift therefore RAISES psi, not hides
+        psi = 0.0
+        if total > 0:
+            for i, b in enumerate(buckets):
+                p = counts[i] / total + eps
+                q = reference_hist[b] + eps
+                psi += (p - q) * math.log(p / q)
+        state.update((counts, total))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "rows_total": [total],
+                "psi": [round(psi, 6)],
+                "drifted": [psi > psi_threshold],
+            }
+        )
+
+    return stream.groupBy(cfg.source_col).applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -368,3 +368,67 @@ def test_resume_invalidated_by_config_change(spark, tmp_path):
     )
     assert r4["validated"] == []
     corpus.unpersist()
+
+
+def test_stream_psi_drift_stateful(spark, tmp_path):
+    """Streaming PSI monitor: a stream drawn from the reference
+    distribution stays ~0; a shifted stream (all lengths in one far
+    bucket) trips the drifted flag."""
+    from polars_genson_spark.config import ValidationConfig
+    from polars_genson_spark.streaming.validate_stream import (
+        read_corpus_stream,
+        stream_psi_drift,
+    )
+
+    cfg = ValidationConfig(token_hist_bucket=64)
+    in_dir = str(tmp_path / "in_psi")
+    os.makedirs(in_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    # one source only: the synthetic corpus deliberately plants a DRIFTED
+    # source, so a pooled reference vs per-source comparison would flag
+    # real drift — this test wants the null case first
+    corpus = generate_corpus(spark, 8000, seed=23).where(
+        F.col("source") == "web-01"
+    )
+    corpus.coalesce(1).write.mode("append").parquet(in_dir)
+
+    # reference histogram FROM the same distribution → psi ≈ 0 for the
+    # matching stream
+    ref_rows = (
+        corpus.groupBy((F.col("n_tok") / 64).cast("int").alias("b"))
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in ref_rows)
+    ref = {int(r["b"]): r["count"] / total for r in ref_rows}
+
+    out = stream_psi_drift(
+        read_corpus_stream(spark, in_dir), ref, cfg, psi_threshold=0.2
+    )
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("psi_ok").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM psi_ok").collect()
+    assert rows and sum(r["rows_total"] for r in rows) == corpus.count()
+    assert all(not r["drifted"] for r in rows)
+    assert all(r["psi"] < 0.05 for r in rows)
+
+    # shifted stream: constant length far outside the reference mass
+    in2 = str(tmp_path / "in_psi_shift")
+    os.makedirs(in2, exist_ok=True)
+    corpus.withColumn("n_tok", F.lit(100_000)).coalesce(1).write.mode(
+        "append"
+    ).parquet(in2)
+    out2 = stream_psi_drift(
+        read_corpus_stream(spark, in2), ref, cfg, psi_threshold=0.2
+    )
+    q2 = (
+        out2.writeStream.outputMode("update").format("memory")
+        .queryName("psi_bad").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    bad = spark.sql("SELECT * FROM psi_bad").collect()
+    assert bad and all(r["drifted"] for r in bad)
