@@ -168,3 +168,47 @@ def test_range_join_bucket_coverage(l, r, lower, span, w):
     ub = math.floor((l + upper) / w)
     rb = math.floor(r / w)
     assert lb <= rb <= ub
+
+
+# --- BPE tokenizer core (pure driver-side algebra) -------------------------
+
+words_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=104),
+        min_size=1, max_size=8,
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(words=words_strategy, n_merges=st.integers(min_value=0, max_value=20))
+def test_bpe_segmentation_reconstructs_word(words, n_merges):
+    """Lossless-ness: the concatenation of a word's BPE tokens is always
+    the word plus the end marker, for ANY trained merge table and ANY
+    word (seen or unseen)."""
+    from polars_genson_spark.operators.tokenizer import (
+        END,
+        _segment,
+        _train_from_rows,
+    )
+
+    rows = [{"word": w, "count": i + 1} for i, w in enumerate(words)]
+    merges = _train_from_rows(rows, n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words + ["zzznever", "a"]:
+        assert "".join(_segment(w, ranks)) == w + END
+
+
+@settings(max_examples=60, deadline=None)
+@given(words=words_strategy)
+def test_bpe_training_deterministic_and_bounded(words):
+    from polars_genson_spark.operators.tokenizer import _train_from_rows
+
+    rows = [{"word": w, "count": 2} for w in words]
+    m1 = _train_from_rows(rows, 15)
+    m2 = _train_from_rows(rows, 15)
+    assert m1 == m2
+    # merge count can stop early (no pair with count >= 2) but never
+    # exceeds the request
+    assert len(m1) <= 15

@@ -390,3 +390,30 @@ def test_curate_semantic_decontamination_stage(spark):
     kept = {r["doc_id"] for r in
             res.chunks.select("doc_id").distinct().collect()}
     assert 3 not in kept
+
+
+def test_star_vs_label_randomized(spark):
+    """Randomized cross-check: on seeded random graphs the alternating-
+    star labels equal min-label propagation labels exactly."""
+    import random
+
+    from polars_genson_spark.operators.dedup import (
+        near_dup_clusters,
+        star_components,
+    )
+
+    for seed in range(12):
+        rng = random.Random(seed)
+        n = rng.randint(2, 25)
+        m = rng.randint(1, 40)
+        edges = [
+            (rng.randrange(n), rng.randrange(n), 1.0) for _ in range(m)
+        ]
+        pairs = spark.createDataFrame(
+            edges, "id_a long, id_b long, jaccard double"
+        )
+        a = {(r["doc_id"], r["cluster_id"])
+             for r in near_dup_clusters(pairs, max_iterations=40).collect()}
+        b = {(r["doc_id"], r["cluster_id"])
+             for r in star_components(pairs).collect()}
+        assert a == b, f"seed {seed}: {sorted(a ^ b)}"
