@@ -292,7 +292,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--max-seq-len", type=int, default=None,
                    help="flag sequences longer than the model context")
     v.add_argument("--min-seq-len", type=int, default=0)
-    v.add_argument("--vocab-size", type=int, default=50257)
+    v.add_argument("--vocab-size", type=int, default=None,
+                   help="token-id upper bound; default: the input dir's "
+                        "_tokenizer.json sidecar if present (written by "
+                        "`tokenize`), else 50257")
 
     g = sub.add_parser("generate", help="write a synthetic corpus")
     g.add_argument("--output", required=True)
@@ -536,6 +539,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             from .config import ValidationConfig as _VC
 
+            vocab_size = args.vocab_size
+            if vocab_size is None:
+                # the tokenize job records the EXACT id bound with the
+                # table it wrote — prefer it over the generic default so
+                # the token-range check is tight by default
+                sidecar = os.path.join(args.input, "_tokenizer.json")
+                if os.path.exists(sidecar):
+                    with open(sidecar) as fh:
+                        vocab_size = int(json.load(fh)["vocab_size"])
+                else:
+                    vocab_size = 50257
+
             result = run_validation(
                 spark,
                 corpus,
@@ -544,7 +559,7 @@ def main(argv: list[str] | None = None) -> int:
                 cfg=_VC(
                     max_seq_len=args.max_seq_len,
                     min_seq_len=args.min_seq_len,
-                    vocab_size=args.vocab_size,
+                    vocab_size=vocab_size,
                 ),
                 resume=not args.no_resume,
             )
