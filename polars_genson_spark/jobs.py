@@ -326,6 +326,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--benchmark-embeddings", default=None,
                    help="benchmark embeddings parquet enabling semantic "
                         "decontamination (requires --embeddings)")
+    c.add_argument("--minhash-bucket-max", type=int, default=None,
+                   help="drop LSH band buckets larger than this before "
+                        "candidate generation (skew guard)")
+    c.add_argument("--cluster-method", default="label",
+                   choices=["label", "star"],
+                   help="near-dup connected components: min-label "
+                        "propagation or alternating-star (O(log n))")
     c.add_argument("--semantic-threshold", type=float, default=0.9)
     c.add_argument("--embedding-dim", type=int, default=64)
     c.add_argument("--semantic-clusters", type=int, default=8)
@@ -415,6 +422,8 @@ def main(argv: list[str] | None = None) -> int:
                 semantic_threshold=args.semantic_threshold,
                 embedding_dim=args.embedding_dim,
                 semantic_clusters=args.semantic_clusters,
+                minhash_bucket_max=args.minhash_bucket_max,
+                cluster_method=args.cluster_method,
             )
             result = curate(
                 docs, benchmark, cfg,

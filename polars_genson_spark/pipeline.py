@@ -48,6 +48,10 @@ class CurateConfig:
     # degenerate band bucket of L docs yields L² candidate pairs; capping
     # bounds the worst bucket at bucket_max² — see dedup._cap_hot_buckets
     minhash_bucket_max: int | None = None
+    # connected-components algorithm for survivor selection: "label"
+    # (min-label propagation, diameter rounds) or "star" (alternating
+    # large/small-star, O(log n) rounds — robust to chain-shaped graphs)
+    cluster_method: str = "label"
     # quality gate
     max_punct_ratio: float = 0.3
     min_chars: int = 10
@@ -151,7 +155,7 @@ def curate(
             min_jaccard=cfg.min_jaccard,
             df_max=cfg.jaccard_df_max,
         )
-        clusters = near_dup_clusters(verified)
+        clusters = near_dup_clusters(verified, method=cfg.cluster_method)
         losers = clusters.where(
             F.col("doc_id") != F.col("cluster_id")
         ).select(F.col("doc_id").alias(cfg.id_col))
