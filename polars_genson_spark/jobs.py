@@ -326,6 +326,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--benchmark-embeddings", default=None,
                    help="benchmark embeddings parquet enabling semantic "
                         "decontamination (requires --embeddings)")
+    c.add_argument("--decontamination-threshold", type=float, default=None,
+                   help="semantic decontamination cosine threshold "
+                        "(default: --semantic-threshold)")
     c.add_argument("--minhash-bucket-max", type=int, default=None,
                    help="drop LSH band buckets larger than this before "
                         "candidate generation (skew guard)")
@@ -410,6 +413,13 @@ def main(argv: list[str] | None = None) -> int:
                 if args.embeddings
                 else None
             )
+            if args.benchmark_embeddings and not args.embeddings:
+                # failing loud beats silently shipping un-decontaminated
+                # output: the semantic stage needs the corpus embeddings
+                raise SystemExit(
+                    "--benchmark-embeddings requires --embeddings (the "
+                    "corpus-side vectors the benchmark is matched against)"
+                )
             bench_emb = (
                 spark.read.parquet(args.benchmark_embeddings)
                 if args.benchmark_embeddings
@@ -424,6 +434,7 @@ def main(argv: list[str] | None = None) -> int:
                 semantic_clusters=args.semantic_clusters,
                 minhash_bucket_max=args.minhash_bucket_max,
                 cluster_method=args.cluster_method,
+                decontamination_threshold=args.decontamination_threshold,
             )
             result = curate(
                 docs, benchmark, cfg,
@@ -559,6 +570,15 @@ def main(argv: list[str] | None = None) -> int:
                         vocab_size = int(json.load(fh)["vocab_size"])
                 else:
                     vocab_size = 50257
+                    # the autodetect only sees LOCAL paths; on a remote
+                    # URI or glob the loose default silently weakens the
+                    # token-range check, so say so
+                    print(
+                        f"validate: no {sidecar} found — using the "
+                        f"generic vocab_size={vocab_size}; pass "
+                        "--vocab-size for a tight token-range bound",
+                        file=sys.stderr,
+                    )
 
             result = run_validation(
                 spark,

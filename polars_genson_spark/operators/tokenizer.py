@@ -25,23 +25,34 @@ trained from the same rollup is identical on every run and machine.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 END = "</w>"  # end-of-word marker (standard BPE word-boundary symbol)
 
+# Python-side splitter matching the JVM training split EXACTLY: the
+# training expression uses Java regex \s (ASCII whitespace only), so the
+# apply side must NOT use str.split() (Unicode whitespace) — on corpora
+# with U+00A0 etc. the two would tokenize different word boundaries and
+# the learned merges would mis-match the applied segmentation.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_words(text: str | None) -> list[str]:
+    return [w for w in _ASCII_WS.split((text or "").lower()) if w]
+
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over the lowercased whitespace-split corpus — the
-    single corpus-sized pass of BPE training (map-side combined)."""
-    words = F.explode(
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
-            " ",
-        )
-    )
+    single corpus-sized pass of BPE training (map-side combined).
+    Shares the split expression with operators/text.py so token counts
+    and BPE words can never disagree."""
+    from .text import _words
+
     return (
-        df.select(words.alias("word"))
+        df.select(F.explode(_words(text_col)).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
@@ -131,9 +142,13 @@ def bpe_tokenize(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
+    cache_max: int = 500_000,
 ) -> DataFrame:
     """(id, bpe_tokens array<string>, n_bpe) — merge table broadcast via
-    closure, per-unique-word segmentation cache per executor batch."""
+    closure, per-unique-word segmentation cache per partition, cleared
+    when it reaches ``cache_max`` entries (a near-unique-word partition
+    — URLs, hashes, code — would otherwise grow it unboundedly for the
+    partition's lifetime)."""
     import pandas as pd
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -144,11 +159,12 @@ def bpe_tokenize(
         for pdf in batches:
             ids, toks, ns = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                words = (text or "").lower().split()
                 doc_tokens: list[str] = []
-                for w in words:
+                for w in _py_words(text):
                     seg = cache.get(w)
                     if seg is None:
+                        if len(cache) >= cache_max:
+                            cache.clear()
                         seg = _segment(w, ranks)
                         cache[w] = seg
                     doc_tokens.extend(seg)
@@ -197,9 +213,11 @@ def bpe_tokenize_ids(
     vocab: dict[str, int],
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_max: int = 500_000,
 ) -> DataFrame:
     """(doc_id, tokens array<int>, n_tok) — the pre-tokenized-corpus
-    shape the validation engine consumes. Unknown tokens map to id 0."""
+    shape the validation engine consumes. Unknown tokens map to id 0.
+    Word split + cache policy identical to :func:`bpe_tokenize`."""
     import pandas as pd
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -210,11 +228,12 @@ def bpe_tokenize_ids(
         for pdf in batches:
             ids, toks, ns = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
-                words = (text or "").lower().split()
                 doc: list[int] = []
-                for w in words:
+                for w in _py_words(text):
                     seg = cache.get(w)
                     if seg is None:
+                        if len(cache) >= cache_max:
+                            cache.clear()
                         seg = [
                             vocab.get(s, 0) for s in _segment(w, ranks)
                         ]

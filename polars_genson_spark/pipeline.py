@@ -67,6 +67,10 @@ class CurateConfig:
     # semantic dedup (embeddings DataFrame supplied at run time)
     semantic_threshold: float = 0.9
     semantic_clusters: int = 8
+    # semantic decontamination threshold (None = reuse
+    # semantic_threshold); independent knob so tightening decon does not
+    # also change which in-corpus duplicates the dedup stage drops
+    decontamination_threshold: float | None = None
     embedding_dim: int = 64
     embedding_id_col: str = "vec_id"
     # chunking
@@ -197,7 +201,11 @@ def curate(
             embeddings,
             benchmark_embeddings,
             dim=cfg.embedding_dim,
-            threshold=cfg.semantic_threshold,
+            threshold=(
+                cfg.decontamination_threshold
+                if cfg.decontamination_threshold is not None
+                else cfg.semantic_threshold
+            ),
             id_col=cfg.embedding_id_col,
         ).select(F.col("id").alias(cfg.id_col))
         # dup-rate-sized in the worst case — no broadcast hint (AQE picks)

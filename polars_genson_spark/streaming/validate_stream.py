@@ -263,7 +263,11 @@ def stream_psi_drift(
     State = the source's cumulative per-bucket counts (a dict-sized
     vector, KB per source); each micro-batch folds its rows in with
     vectorized pandas, then PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over the
-    reference buckets (ε-smoothed like the batch implementation).
+    reference buckets with the SAME smoothing as the batch
+    implementation (checks.py psi_drift): p floored at ε, q used raw
+    (reference fractions are nonzero by construction; a zero is still
+    ε-floored to avoid log-div-zero), so a psi_threshold tuned on batch
+    output fires at the same point here.
     ``reference_hist``: {bucket → fraction}, bucket = n_tok //
     cfg.token_hist_bucket — produce it from a trusted corpus slice with
     the batch histogram operator and broadcast it here (KB-sized).
@@ -304,8 +308,8 @@ def stream_psi_drift(
         psi = 0.0
         if total > 0:
             for i, b in enumerate(buckets):
-                p = counts[i] / total + eps
-                q = reference_hist[b] + eps
+                p = max(counts[i] / total, eps)
+                q = max(reference_hist[b], eps)
                 psi += (p - q) * math.log(p / q)
         state.update((counts, total))
         yield pd.DataFrame(
