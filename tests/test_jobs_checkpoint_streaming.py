@@ -432,3 +432,44 @@ def test_stream_psi_drift_stateful(spark, tmp_path):
     q2.awaitTermination(120)
     bad = spark.sql("SELECT * FROM psi_bad").collect()
     assert bad and all(r["drifted"] for r in bad)
+
+
+def test_tokenize_cli_then_validate_autovocab(tmp_path):
+    """jobs tokenize writes the validate-ready table + _tokenizer.json
+    sidecar; a vocab-size-less validate run picks the sidecar bound and
+    finds zero consistency violations (ids in range by construction)."""
+    import json
+    import subprocess
+    import sys
+
+    table = str(tmp_path / "tok")
+    run = str(tmp_path / "run")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    t = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "tokenize",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", table, "--n-merges", "60"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert t.returncode == 0, t.stderr[-2000:]
+    info = json.loads(t.stdout.strip().splitlines()[-1])
+    assert info["rows"] == 500 and info["n_merges"] == 60
+    sidecar = json.load(open(os.path.join(table, "_tokenizer.json")))
+    assert sidecar["vocab_size"] == info["vocab_size"] > 60
+
+    v = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "validate",
+         "--input", table, "--output", run],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    # planted-free real text + self-trained vocab: consistency must be
+    # clean; referential fails by design vs the default allowed dim, so
+    # exit code is 1 — check the manifest, not the exit
+    manifest = json.load(open(os.path.join(run, "manifest.json")))
+    assert all(
+        p["consistency_violations"] == 0
+        for p in manifest["partitions"].values()
+    )
+    assert all(
+        p["null_tokens"] == 0 for p in manifest["partitions"].values()
+    )
