@@ -174,7 +174,10 @@ def test_range_join_bucket_coverage(l, r, lower, span, w):
 
 words_strategy = st.lists(
     st.text(
-        alphabet=st.characters(min_codepoint=97, max_codepoint=104),
+        # ascii letters plus multibyte (CJK, accented, emoji) — merges
+        # operate on unicode code points, not bytes, so segmentation
+        # must reconstruct regardless of encoding width
+        alphabet=st.sampled_from(list("abcdefghé世界😀")),
         min_size=1, max_size=8,
     ),
     min_size=1, max_size=12,

@@ -417,3 +417,45 @@ def test_star_vs_label_randomized(spark):
         b = {(r["doc_id"], r["cluster_id"])
              for r in star_components(pairs).collect()}
         assert a == b, f"seed {seed}: {sorted(a ^ b)}"
+
+
+def test_unicode_corpus_through_curate_and_tokenizer(spark):
+    """CJK / emoji / NBSP text flows through the full curate pipeline and
+    the BPE train+apply path without crashes, with exact reconstruction
+    of the (ASCII-whitespace-split) words."""
+    from polars_genson_spark.operators.tokenizer import (
+        END,
+        bpe_tokenize,
+        train_bpe,
+    )
+    from polars_genson_spark.pipeline import CurateConfig, curate
+
+    rows = [
+        (1, "智能 数据 处理 引擎 智能 数据"),
+        (2, "données accentuées déjà vu déjà"),
+        (3, "emoji 😀😀 text with nbsp inside"),
+        (4, "plain ascii words to anchor the vocab"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # max_punct_ratio=1.0: the rule filter's punct heuristic is
+    # ASCII-centric (CJK chars count as non-word), which is a per-language
+    # threshold question, not a crash — this test asserts unicode SAFETY
+    res = curate(
+        docs.withColumn("source", F.lit("s")),
+        cfg=CurateConfig(near_dup=False, min_chars=1, chunk_size=8,
+                         max_punct_ratio=1.0),
+    )
+    assert res.stage_counts["quality"] == 4 and res.stage_counts["chunks"] > 0
+
+    merges = train_bpe(docs, n_merges=30)
+    out = bpe_tokenize(docs, merges).collect()
+    assert len(out) == 4
+    for r in out:
+        text = dict(rows)[r["doc_id"]]
+        # reconstruction: concatenated tokens == lowercased words + END
+        # markers, under the SAME ascii-whitespace split training used
+        # (U+00A0 is NOT a separator on either side)
+        joined = "".join(r["bpe_tokens"])
+        import re
+        words = [w for w in re.split(r"[ \t\n\x0b\f\r]+", text.lower()) if w]
+        assert joined == "".join(w + END for w in words)
