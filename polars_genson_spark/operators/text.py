@@ -140,16 +140,28 @@ def chunk_tokens(
     chunk_size: int,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
+    overlap: int = 0,
 ) -> DataFrame:
     """Split each document's token array into fixed-size training chunks:
     one output row per chunk (id, chunk_id, chunk_tokens, n_chunk_tokens).
     JVM-side sequence/slice/posexplode — no shuffle, no Python; row count
-    grows by ceil(n_tok / chunk_size) per doc."""
+    grows by ceil(n_tok / stride) per doc.
+
+    ``overlap`` (< chunk_size): consecutive chunks share this many
+    tokens (stride = chunk_size − overlap) — the standard sliding-window
+    packing so context isn't severed at every chunk boundary."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size); got {overlap} "
+            f"for chunk_size {chunk_size}"
+        )
+    stride = chunk_size - overlap
     n = F.size(F.col(tokens_col))
-    n_chunks = F.ceil(n / F.lit(chunk_size)).cast("int")
+    # last chunk starts at the largest multiple of stride still < n
+    n_chunks = (F.ceil((n - F.lit(overlap)) / F.lit(stride))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
-        lambda i: F.slice(F.col(tokens_col), i * chunk_size + 1, chunk_size),
+        lambda i: F.slice(F.col(tokens_col), i * stride + 1, chunk_size),
     )
     exploded = df.where(n > 0).select(
         F.col(id_col),
@@ -397,3 +409,35 @@ def unigram_logprob(
         F.round(F.avg("nll"), 4).alias("mean_nll"),
         F.count(F.lit(1)).alias("n_words"),
     )
+
+
+def quality_by_language(
+    df: DataFrame,
+    thresholds: dict[str, tuple[float, int]] | None = None,
+    default_max_punct: float = 0.3,
+    default_min_chars: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-aware quality gate: per-language (max_punct_ratio,
+    min_chars) thresholds, because the ASCII-centric punct heuristic
+    over-fires on non-Latin scripts (every CJK char counts as non-word).
+
+    ``thresholds``: {lang → (max_punct_ratio, min_chars)}; languages not
+    listed use the defaults. Returns rows that pass THEIR language's
+    gate, with the ``lang_guess`` and quality columns kept for
+    downstream routing. Pure column expressions over the existing language-ID and
+    quality operators — whole-stage codegen, no shuffle."""
+    q = with_quality(with_language_guess(df, text_col), text_col)
+    max_punct = F.lit(float(default_max_punct))
+    min_chars = F.lit(int(default_min_chars))
+    for lang, (mp, mc) in (thresholds or {}).items():
+        max_punct = F.when(
+            F.col("lang_guess") == lang, F.lit(float(mp))
+        ).otherwise(max_punct)
+        min_chars = F.when(
+            F.col("lang_guess") == lang, F.lit(int(mc))
+        ).otherwise(min_chars)
+    keep = (F.col("punct_ratio") <= max_punct) & (
+        F.length(text_col) >= min_chars
+    )
+    return q.where(keep)

@@ -509,3 +509,65 @@ def test_curate_learned_quality_stage(spark):
     )
     assert base.stage_counts["quality"] > 0
     assert hostile.stage_counts["quality"] == 0
+
+
+def test_quality_by_language_thresholds(spark):
+    """Per-language gates: a CJK doc passes under its own (looser) punct
+    threshold while failing the default ASCII-centric one; junk fails
+    everywhere."""
+    from polars_genson_spark.operators.text import quality_by_language
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog were here"),
+            (2, "!!!??? ### $$$ %%% @@@"),
+        ],
+        "doc_id long, text string",
+    )
+    strict = quality_by_language(docs)
+    kept = {r["doc_id"] for r in strict.collect()}
+    assert kept == {1}
+
+    # an 'und' (no stopword hits) doc with high punct_ratio: dropped by
+    # default, kept when 'und' gets a permissive threshold
+    cjk = spark.createDataFrame(
+        [(3, "智能数据处理引擎的设计与实现细节说明文档")],
+        "doc_id long, text string",
+    )
+    assert quality_by_language(cjk).count() == 0
+    loose = quality_by_language(cjk, thresholds={"und": (1.0, 5)})
+    rows = loose.collect()
+    assert len(rows) == 1 and rows[0]["lang_guess"] == "und"
+
+
+def test_chunk_tokens_overlap():
+    """Sliding-window chunking: stride = chunk_size − overlap; every
+    token covered; consecutive chunks share exactly `overlap` tokens."""
+    import pytest as _pytest
+
+    from polars_genson_spark.operators.text import chunk_tokens
+    from polars_genson_spark.session import get_spark
+
+    spark = get_spark(app_name="pgs-tests", master="local[4]",
+                      shuffle_partitions=4)
+    df = spark.createDataFrame(
+        [(1, list(range(10)))], "doc_id long, tokens array<int>"
+    )
+    out = sorted(
+        (r["chunk_id"], r["chunk_tokens"])
+        for r in chunk_tokens(df, chunk_size=4, overlap=2).collect()
+    )
+    assert out == [
+        (0, [0, 1, 2, 3]),
+        (1, [2, 3, 4, 5]),
+        (2, [4, 5, 6, 7]),
+        (3, [6, 7, 8, 9]),
+    ]
+    # overlap=0 unchanged vs the original fixed chunking
+    plain = sorted(
+        (r["chunk_id"], r["chunk_tokens"])
+        for r in chunk_tokens(df, chunk_size=4).collect()
+    )
+    assert plain == [(0, [0, 1, 2, 3]), (1, [4, 5, 6, 7]), (2, [8, 9])]
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_tokens(df, chunk_size=4, overlap=4)
