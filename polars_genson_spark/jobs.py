@@ -319,6 +319,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--benchmark", default=None,
                    help="benchmark parquet for decontamination")
     c.add_argument("--chunk-size", type=int, default=512)
+    c.add_argument("--chunk-overlap", type=int, default=0,
+                   help="tokens shared between consecutive chunks "
+                        "(sliding window; stride = size - overlap)")
     c.add_argument("--min-jaccard", type=float, default=0.8)
     c.add_argument("--no-near-dup", action="store_true")
     c.add_argument("--embeddings", default=None,
@@ -427,6 +430,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             cfg = CurateConfig(
                 chunk_size=args.chunk_size,
+                chunk_overlap=args.chunk_overlap,
                 min_jaccard=args.min_jaccard,
                 near_dup=not args.no_near_dup,
                 semantic_threshold=args.semantic_threshold,

@@ -75,6 +75,7 @@ class CurateConfig:
     embedding_id_col: str = "vec_id"
     # chunking
     chunk_size: int = 512
+    chunk_overlap: int = 0  # sliding-window stride = size - overlap
     vocab_size: int = 50_257
 
 
@@ -270,7 +271,11 @@ def curate(
         _tokens_expr("text_redacted", cfg.vocab_size).alias("tokens"),
     )
     chunks = stage(
-        chunk_tokens(tok, cfg.chunk_size, id_col=cfg.id_col), "chunks"
+        chunk_tokens(
+            tok, cfg.chunk_size, id_col=cfg.id_col,
+            overlap=cfg.chunk_overlap,
+        ),
+        "chunks"
     )
 
     return CurateResult(chunks=chunks, stage_counts=counts)
