@@ -322,6 +322,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--chunk-overlap", type=int, default=0,
                    help="tokens shared between consecutive chunks "
                         "(sliding window; stride = size - overlap)")
+    c.add_argument("--pack-context-len", type=int, default=None,
+                   help="pack chunks into sequences of this many tokens "
+                        "(greedy first-fit per partition)")
+    c.add_argument("--pack-pad-id", type=int, default=None,
+                   help="pad packed sequences to full context with this "
+                        "token id")
     c.add_argument("--min-jaccard", type=float, default=0.8)
     c.add_argument("--no-near-dup", action="store_true")
     c.add_argument("--embeddings", default=None,
@@ -431,6 +437,8 @@ def main(argv: list[str] | None = None) -> int:
             cfg = CurateConfig(
                 chunk_size=args.chunk_size,
                 chunk_overlap=args.chunk_overlap,
+                pack_context_len=args.pack_context_len,
+                pack_pad_id=args.pack_pad_id,
                 min_jaccard=args.min_jaccard,
                 near_dup=not args.no_near_dup,
                 semantic_threshold=args.semantic_threshold,

@@ -441,3 +441,94 @@ def quality_by_language(
         F.length(text_col) >= min_chars
     )
     return q.where(keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "chunk_tokens",
+    pad_id: int | None = None,
+) -> DataFrame:
+    """Pack chunks into training sequences of at most ``context_len``
+    tokens (greedy first-fit) — the batch-assembly step after
+    :func:`chunk_tokens`: short chunks share a sequence instead of
+    wasting pad positions.
+
+    Scale shape: packing is PER PARTITION inside ``mapInPandas`` (the
+    standard approach — no shuffle, no global state; cross-partition
+    packing would serialize the corpus for a ~1% fill gain). Determinism
+    therefore depends on the input partitioning: sort/repartition
+    upstream (e.g. ``repartitionByRange(id).sortWithinPartitions(id)``)
+    for reproducible packs.
+
+    Output per sequence: tokens (padded to ``context_len`` iff
+    ``pad_id`` is set), n_tokens (pre-pad), boundaries (start offset of
+    each packed segment — the attention-mask reset points), source_ids,
+    and fill_ratio.
+    """
+    import pandas as pd
+
+    if context_len <= 0:
+        raise ValueError(f"context_len must be > 0, got {context_len}")
+    out_schema = (
+        "pack_id string, tokens array<int>, n_tokens int, "
+        "n_segments int, boundaries array<int>, "
+        f"source_ids array<long>, fill_ratio double"
+    )
+
+    def run(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        # open bins: list of [tokens, boundaries, source_ids]
+        bins: list[list] = []
+        seq = 0
+
+        def flush(b):
+            nonlocal seq
+            toks, bounds, srcs = b
+            n = len(toks)
+            if pad_id is not None:
+                toks = toks + [pad_id] * (context_len - n)
+            row = (
+                f"{pid}-{seq}", toks, n, len(bounds), bounds, srcs,
+                round(n / context_len, 6),
+            )
+            seq += 1
+            return row
+
+        rows_out = []
+        for pdf in iterator:
+            for i, toks in zip(pdf[id_col], pdf[tokens_col]):
+                toks = list(toks)[:context_len]  # oversize chunk: trim
+                placed = False
+                for b in bins:
+                    if len(b[0]) + len(toks) <= context_len:
+                        b[1].append(len(b[0]))
+                        b[0].extend(toks)
+                        b[2].append(int(i))
+                        placed = True
+                        break
+                if not placed:
+                    bins.append([list(toks), [0], [int(i)]])
+                # cap open-bin scan cost: bins nearly full stop accepting
+                if len(bins) > 64:
+                    fullest = max(range(len(bins)), key=lambda j: len(bins[j][0]))
+                    rows_out.append(flush(bins.pop(fullest)))
+            if rows_out:
+                yield pd.DataFrame(
+                    rows_out,
+                    columns=["pack_id", "tokens", "n_tokens", "n_segments",
+                             "boundaries", "source_ids", "fill_ratio"],
+                )
+                rows_out = []
+        tail = [flush(b) for b in bins]
+        if tail:
+            yield pd.DataFrame(
+                tail,
+                columns=["pack_id", "tokens", "n_tokens", "n_segments",
+                         "boundaries", "source_ids", "fill_ratio"],
+            )
+
+    return df.select(id_col, tokens_col).mapInPandas(run, out_schema)

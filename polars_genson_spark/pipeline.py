@@ -76,6 +76,10 @@ class CurateConfig:
     # chunking
     chunk_size: int = 512
     chunk_overlap: int = 0  # sliding-window stride = size - overlap
+    # optional batch assembly: pack chunks into sequences of this many
+    # tokens (None = emit raw chunks); pad with pack_pad_id when set
+    pack_context_len: int | None = None
+    pack_pad_id: int | None = None
     vocab_size: int = 50_257
 
 
@@ -277,5 +281,21 @@ def curate(
         ),
         "chunks"
     )
+
+    # 7. optional batch assembly: pack chunks into context-length
+    #    sequences (greedy first-fit per partition; see pack_sequences)
+    if cfg.pack_context_len is not None:
+        from .operators.text import pack_sequences
+
+        chunks = stage(
+            pack_sequences(
+                chunks.repartitionByRange(cfg.id_col, "chunk_id")
+                .sortWithinPartitions(cfg.id_col, "chunk_id"),
+                cfg.pack_context_len,
+                id_col=cfg.id_col,
+                pad_id=cfg.pack_pad_id,
+            ),
+            "packed",
+        )
 
     return CurateResult(chunks=chunks, stage_counts=counts)

@@ -571,3 +571,46 @@ def test_chunk_tokens_overlap():
     assert plain == [(0, [0, 1, 2, 3]), (1, [4, 5, 6, 7]), (2, [8, 9])]
     with _pytest.raises(ValueError, match="overlap"):
         chunk_tokens(df, chunk_size=4, overlap=4)
+
+
+def test_pack_sequences():
+    """Greedy packing: every token preserved exactly once, no pack over
+    context_len, boundaries mark segment starts, padding honoured."""
+    from collections import Counter
+
+    from polars_genson_spark.operators.text import pack_sequences
+    from polars_genson_spark.session import get_spark
+
+    spark = get_spark(app_name="pgs-tests", master="local[4]",
+                      shuffle_partitions=4)
+    rows = [
+        (1, [1] * 6), (2, [2] * 5), (3, [3] * 4),
+        (4, [4] * 9), (5, [5] * 2), (6, [6] * 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_tokens array<int>"
+    ).coalesce(1)
+    out = pack_sequences(df, context_len=10, pad_id=0).collect()
+    # token multiset preserved (pads excluded)
+    got = Counter()
+    for r in out:
+        body = [t for t in r["tokens"] if t != 0]
+        got.update(body)
+        assert len(r["tokens"]) == 10            # padded to context
+        assert r["n_tokens"] == len(body) <= 10
+        assert r["n_segments"] == len(r["boundaries"]) == len(r["source_ids"])
+        assert r["boundaries"][0] == 0
+        assert sorted(r["boundaries"]) == list(r["boundaries"])
+        assert abs(r["fill_ratio"] - r["n_tokens"] / 10) < 1e-9
+    want = Counter()
+    for i, toks in rows:
+        want.update(toks)
+    assert got == want
+    # packing actually shares sequences: fewer packs than chunks
+    assert len(out) < len(rows)
+    # oversize chunk is trimmed, not crashed
+    big = spark.createDataFrame(
+        [(9, list(range(25)))], "doc_id long, chunk_tokens array<int>"
+    )
+    trimmed = pack_sequences(big, context_len=10).collect()
+    assert len(trimmed) == 1 and trimmed[0]["n_tokens"] == 10
