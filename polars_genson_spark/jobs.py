@@ -422,6 +422,11 @@ def main(argv: list[str] | None = None) -> int:
                 if args.embeddings
                 else None
             )
+            if args.pack_pad_id is not None and args.pack_context_len is None:
+                raise SystemExit(
+                    "--pack-pad-id has no effect without "
+                    "--pack-context-len (packing stage disabled)"
+                )
             if args.benchmark_embeddings and not args.embeddings:
                 # failing loud beats silently shipping un-decontaminated
                 # output: the semantic stage needs the corpus embeddings

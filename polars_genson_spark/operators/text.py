@@ -145,11 +145,13 @@ def chunk_tokens(
     """Split each document's token array into fixed-size training chunks:
     one output row per chunk (id, chunk_id, chunk_tokens, n_chunk_tokens).
     JVM-side sequence/slice/posexplode — no shuffle, no Python; row count
-    grows by ceil(n_tok / stride) per doc.
+    grows by max(1, ceil((n_tok − overlap) / stride)) per doc.
 
     ``overlap`` (< chunk_size): consecutive chunks share this many
     tokens (stride = chunk_size − overlap) — the standard sliding-window
-    packing so context isn't severed at every chunk boundary."""
+    packing so context isn't severed at every chunk boundary. Chunk i
+    starts at i·stride; emission stops once a chunk's END reaches the
+    document's end (no fully-redundant trailing chunk)."""
     if not 0 <= overlap < chunk_size:
         raise ValueError(
             f"overlap must be in [0, chunk_size); got {overlap} "
@@ -157,7 +159,6 @@ def chunk_tokens(
         )
     stride = chunk_size - overlap
     n = F.size(F.col(tokens_col))
-    # last chunk starts at the largest multiple of stride still < n
     n_chunks = (F.ceil((n - F.lit(overlap)) / F.lit(stride))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
@@ -464,8 +465,12 @@ def pack_sequences(
 
     Output per sequence: tokens (padded to ``context_len`` iff
     ``pad_id`` is set), n_tokens (pre-pad), boundaries (start offset of
-    each packed segment — the attention-mask reset points), source_ids,
-    and fill_ratio.
+    each packed segment — the attention-mask reset points), source_ids
+    (stringified, id-type-agnostic), and fill_ratio. Null/empty token
+    rows are skipped; a chunk LONGER than ``context_len`` is an error —
+    trim upstream (chunk_tokens with chunk_size ≤ context_len) because
+    silently dropping training tokens would corrupt the output with
+    healthy-looking stats.
     """
     import pandas as pd
 
@@ -474,7 +479,7 @@ def pack_sequences(
     out_schema = (
         "pack_id string, tokens array<int>, n_tokens int, "
         "n_segments int, boundaries array<int>, "
-        f"source_ids array<long>, fill_ratio double"
+        "source_ids array<string>, fill_ratio double"
     )
 
     def run(iterator):
@@ -501,17 +506,25 @@ def pack_sequences(
         rows_out = []
         for pdf in iterator:
             for i, toks in zip(pdf[id_col], pdf[tokens_col]):
-                toks = list(toks)[:context_len]  # oversize chunk: trim
+                if toks is None or len(toks) == 0:
+                    continue  # no phantom zero-length segments
+                toks = list(toks)
+                if len(toks) > context_len:
+                    raise ValueError(
+                        f"chunk of {len(toks)} tokens exceeds "
+                        f"context_len {context_len} — chunk upstream "
+                        "with chunk_size <= context_len"
+                    )
                 placed = False
                 for b in bins:
                     if len(b[0]) + len(toks) <= context_len:
                         b[1].append(len(b[0]))
                         b[0].extend(toks)
-                        b[2].append(int(i))
+                        b[2].append(str(i))
                         placed = True
                         break
                 if not placed:
-                    bins.append([list(toks), [0], [int(i)]])
+                    bins.append([list(toks), [0], [str(i)]])
                 # cap open-bin scan cost: bins nearly full stop accepting
                 if len(bins) > 64:
                     fullest = max(range(len(bins)), key=lambda j: len(bins[j][0]))

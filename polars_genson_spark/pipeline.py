@@ -287,6 +287,13 @@ def curate(
     if cfg.pack_context_len is not None:
         from .operators.text import pack_sequences
 
+        if cfg.pack_context_len < cfg.chunk_size:
+            raise ValueError(
+                f"pack_context_len ({cfg.pack_context_len}) must be >= "
+                f"chunk_size ({cfg.chunk_size}); packing would otherwise "
+                "have to drop tokens from every full chunk"
+            )
+
         chunks = stage(
             pack_sequences(
                 chunks.repartitionByRange(cfg.id_col, "chunk_id")

@@ -464,7 +464,8 @@ def test_tokenize_cli_then_validate_autovocab(tmp_path):
     )
     # planted-free real text + self-trained vocab: consistency must be
     # clean; referential fails by design vs the default allowed dim, so
-    # exit code is 1 — check the manifest, not the exit
+    # exit code is 1 (not a crash) — then check the manifest
+    assert v.returncode in (0, 1), v.stderr[-2000:]
     manifest = json.load(open(os.path.join(run, "manifest.json")))
     assert all(
         p["consistency_violations"] == 0

@@ -575,7 +575,9 @@ def test_chunk_tokens_overlap():
 
 def test_pack_sequences():
     """Greedy packing: every token preserved exactly once, no pack over
-    context_len, boundaries mark segment starts, padding honoured."""
+    context_len, boundaries mark segment starts, padding honoured,
+    oversize chunks rejected loudly."""
+    import pytest as _pytest
     from collections import Counter
 
     from polars_genson_spark.operators.text import pack_sequences
@@ -599,6 +601,7 @@ def test_pack_sequences():
         assert len(r["tokens"]) == 10            # padded to context
         assert r["n_tokens"] == len(body) <= 10
         assert r["n_segments"] == len(r["boundaries"]) == len(r["source_ids"])
+        assert all(isinstance(x, str) for x in r["source_ids"])
         assert r["boundaries"][0] == 0
         assert sorted(r["boundaries"]) == list(r["boundaries"])
         assert abs(r["fill_ratio"] - r["n_tokens"] / 10) < 1e-9
@@ -608,9 +611,15 @@ def test_pack_sequences():
     assert got == want
     # packing actually shares sequences: fewer packs than chunks
     assert len(out) < len(rows)
-    # oversize chunk is trimmed, not crashed
+    # oversize chunk FAILS LOUD (silent trimming would corrupt training
+    # data with healthy-looking stats); null/empty rows are skipped
     big = spark.createDataFrame(
-        [(9, list(range(25)))], "doc_id long, chunk_tokens array<int>"
+        [(9, list(range(25))), (10, None), (11, [])],
+        "doc_id long, chunk_tokens array<int>",
     )
-    trimmed = pack_sequences(big, context_len=10).collect()
-    assert len(trimmed) == 1 and trimmed[0]["n_tokens"] == 10
+    with _pytest.raises(Exception, match="exceeds"):
+        pack_sequences(big, context_len=10).collect()
+    ok = pack_sequences(
+        big.where("doc_id > 9"), context_len=10
+    ).collect()
+    assert ok == []  # null + empty rows produce nothing
