@@ -148,13 +148,19 @@ def make_pyfiles_zip(output_path: str) -> str:
 
 
 def bench_one(
-    n_rows: int, cores: int, seed: int = 42, reps: int = 3
+    n_rows: int, cores: int, seed: int = 42, reps: int = 3,
+    job: str = "validate",
 ) -> dict[str, Any]:
-    """Measure validated rows/sec of the full validation job at
-    local[cores]. One warmup run (JIT, Python workers, broadcasts) then
-    ``reps`` timed runs; best time wins (standard de-noising on shared
-    hardware). Caches from a run are dropped before the next so every rep
-    recomputes the full pipeline."""
+    """Measure rows/sec of a full job at local[cores]. One warmup run
+    (JIT, Python workers, broadcasts) then ``reps`` timed runs; best time
+    wins (standard de-noising on shared hardware). Caches from a run are
+    dropped before the next so every rep recomputes the full pipeline.
+
+    ``job="validate"``: the validation engine (stats/HLL/referential/
+    drift) — the north-rule headline. ``job="near_dup"``: the curate
+    pipeline's heaviest stage (MinHash candidates → exact-Jaccard verify
+    → connected components) over texts derived from the synthetic corpus
+    (its planted duplicate rate provides real near-dup work)."""
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
@@ -169,15 +175,47 @@ def bench_one(
     ).persist()
     corpus.count()  # materialise outside the timed window
     allowed = allowed_sources_df(spark)
+    if job == "near_dup":
+        from .operators.dedup import (
+            minhash_candidates,
+            near_dup_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        docs = corpus.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.array_join(F.col("tokens"), " ").alias("text"),
+        ).persist()
+        docs.count()
+
+        def run_once():
+            cand = minhash_candidates(
+                docs, num_perm=32, bands=16, min_jaccard=0.8
+            ).select("id_a", "id_b")
+            ids = (
+                cand.select(F.col("id_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+                .distinct()
+                .join(docs, "doc_id")
+            )
+            pairs = ngram_jaccard_pairs(
+                ids, n=3, min_jaccard=0.8, df_max=1000
+            )
+            near_dup_clusters(pairs).count()
+    elif job == "validate":
+        def run_once():
+            report = validate_corpus(corpus, allowed, cfg)
+            finalise_summary(report)
+            report.violations.count()
+            report.violations.unpersist()
+            report.verdicts.unpersist()
+    else:
+        raise ValueError(f"unknown job {job!r} (validate|near_dup)")
     times: list[float] = []
     for rep in range(reps + 1):  # rep 0 = warmup
         t0 = time.perf_counter()
-        report = validate_corpus(corpus, allowed, cfg)
-        finalise_summary(report)
-        report.violations.count()
+        run_once()
         dt = time.perf_counter() - t0
-        report.violations.unpersist()
-        report.verdicts.unpersist()
         if rep > 0:
             times.append(dt)
     best = min(times)
@@ -185,6 +223,7 @@ def bench_one(
     spark.stop()
     return {
         "cores": cores,
+        "job": job,
         "rows_per_sec": round(n_rows / best, 1),
         "seconds": round(best, 3),
         "all_seconds": [round(t, 3) for t in times],
@@ -192,7 +231,7 @@ def bench_one(
 
 
 def _bench_one_pinned(
-    n_rows: int, cores: int, seed: int, reps: int
+    n_rows: int, cores: int, seed: int, reps: int, job: str = "validate"
 ) -> dict[str, Any]:
     """Run bench_one in a subprocess bound to exactly ``cores`` CPUs."""
     import subprocess
@@ -207,6 +246,7 @@ def _bench_one_pinned(
         "--cores", str(cores),
         "--seed", str(seed),
         "--reps", str(reps),
+        "--job", job,
     ]
     proc = subprocess.run(
         cmd, capture_output=True, text=True, env=env, check=True
@@ -221,6 +261,7 @@ def scaling_bench(
     seed: int = 42,
     pin: bool = True,
     rounds: int = 3,
+    job: str = "validate",
 ) -> dict[str, Any]:
     """Run the identical validation job at local[n_small] and
     local[n_large]; report both throughputs and the scaling efficiency
@@ -248,9 +289,9 @@ def scaling_bench(
         pair = {}
         for n in (n_small, n_large):
             if use_pin:
-                pair[n] = _bench_one_pinned(n_rows, n, seed, reps=1)
+                pair[n] = _bench_one_pinned(n_rows, n, seed, reps=1, job=job)
             else:
-                pair[n] = bench_one(n_rows, n, seed, reps=1)
+                pair[n] = bench_one(n_rows, n, seed, reps=1, job=job)
         eff = (
             pair[n_large]["rows_per_sec"] / pair[n_small]["rows_per_sec"]
         ) / ratio
@@ -307,6 +348,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--small", type=int, default=8)
     s.add_argument("--large", type=int, default=32)
     s.add_argument("--no-pin", action="store_true")
+    s.add_argument("--job", default="validate",
+                   choices=["validate", "near_dup"],
+                   help="which pipeline to scale-measure")
 
     z = sub.add_parser("package", help="build the --py-files zip")
     z.add_argument("--output", default="polars_genson_spark.zip")
@@ -385,18 +429,23 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--cores", type=int, required=True)
     b.add_argument("--seed", type=int, default=42)
     b.add_argument("--reps", type=int, default=3)
+    b.add_argument("--job", default="validate",
+                   choices=["validate", "near_dup"])
 
     args = p.parse_args(argv)
 
     if args.cmd == "scaling-bench":
         out = scaling_bench(
-            args.rows, args.small, args.large, pin=not args.no_pin
+            args.rows, args.small, args.large, pin=not args.no_pin,
+            job=args.job,
         )
         print(json.dumps(out))
         return 0
     if args.cmd == "bench-one":
         print(
-            json.dumps(bench_one(args.rows, args.cores, args.seed, args.reps))
+            json.dumps(bench_one(
+                args.rows, args.cores, args.seed, args.reps, job=args.job
+            ))
         )
         return 0
     if args.cmd == "package":

@@ -595,10 +595,46 @@ def star_components(
     )
 
 
+def _driver_union_find(edges_rows):
+    """Exact connected components on the driver for rollup-sized edge
+    sets: path-compressed union-find, then one pass to label every node
+    with its component's min id. A 371-pair graph costs ~10 Spark jobs
+    and ~12 s as iterative BSP (per-round scheduling latency, not
+    compute); on the driver it is microseconds. Returns (node, label)
+    tuples — the caller owns the DataFrame schema (id type passthrough)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return rows
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
     method: str = "label",
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair set: every doc that
     appears in a pair gets the component label min(reachable doc_id).
@@ -616,6 +652,16 @@ def near_dup_clusters(
     ``method="star"``: delegates to :func:`star_components` — O(log n)
     rounds regardless of diameter. Use when the duplicate graph may
     contain long chains (same labels, different convergence behaviour).
+
+    ``driver_threshold``: edge sets at or below this size are solved by
+    exact union-find ON THE DRIVER (identical labels) — the duplicate
+    PAIR set is collision-rate-sized, often thousands of rows even for
+    huge corpora, and iterative BSP pays multi-second per-round
+    scheduling latency that dwarfs the actual work (measured 12 s for a
+    371-pair graph vs milliseconds driver-side). Distributed iteration
+    engages only past the threshold, where the edge set is genuinely too
+    big to collect (1M edges ≈ 16 MB — comfortably collectable; set 0
+    to force the distributed path).
     """
     if method == "star":
         return star_components(pairs, max_iterations)
@@ -631,6 +677,18 @@ def near_dup_clusters(
         .distinct()
         .persist()
     )
+    if driver_threshold and edges.limit(driver_threshold + 1).count() <= driver_threshold:
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        edges.unpersist()
+        labels = _driver_union_find(rows)
+        import pyspark.sql.types as T
+
+        id_type = pairs.schema["id_a"].dataType
+        schema = T.StructType([
+            T.StructField("doc_id", id_type, False),
+            T.StructField("cluster_id", id_type, False),
+        ])
+        return pairs.sparkSession.createDataFrame(labels, schema)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -206,7 +206,9 @@ def test_near_dup_clusters_warns_on_iteration_cap(spark, caplog):
     )
     with caplog.at_level(logging.WARNING,
                          logger="polars_genson_spark.operators.dedup"):
-        out = dedup.near_dup_clusters(pairs, max_iterations=1)
+        out = dedup.near_dup_clusters(
+            pairs, max_iterations=1, driver_threshold=0
+        )
         n = out.count()
     assert n == 8
     assert any("did not converge" in r.message for r in caplog.records)
@@ -214,7 +216,9 @@ def test_near_dup_clusters_warns_on_iteration_cap(spark, caplog):
     caplog.clear()
     with caplog.at_level(logging.WARNING,
                          logger="polars_genson_spark.operators.dedup"):
-        done = dedup.near_dup_clusters(pairs, max_iterations=20)
+        done = dedup.near_dup_clusters(
+            pairs, max_iterations=20, driver_threshold=0
+        )
         labels = {r["cluster_id"] for r in done.collect()}
     assert labels == {0}
     assert not any("did not converge" in r.message for r in caplog.records)
@@ -296,7 +300,9 @@ def test_no_false_warning_when_converged_at_cap(spark, caplog):
     )
     with caplog.at_level(logging.WARNING,
                          logger="polars_genson_spark.operators.dedup"):
-        out = dedup.near_dup_clusters(pairs, max_iterations=2)
+        out = dedup.near_dup_clusters(
+            pairs, max_iterations=2, driver_threshold=0
+        )
         labels = {r["cluster_id"] for r in out.collect()}
     assert labels == {0}
     assert not any("did not converge" in r.message for r in caplog.records)
@@ -417,6 +423,12 @@ def test_star_vs_label_randomized(spark):
         b = {(r["doc_id"], r["cluster_id"])
              for r in star_components(pairs).collect()}
         assert a == b, f"seed {seed}: {sorted(a ^ b)}"
+        if seed < 4:  # distributed label path spot-check (slow)
+            c = {(r["doc_id"], r["cluster_id"])
+                 for r in near_dup_clusters(
+                     pairs, max_iterations=40, driver_threshold=0
+                 ).collect()}
+            assert c == a, f"seed {seed} dist: {sorted(c ^ a)}"
 
 
 def test_unicode_corpus_through_curate_and_tokenizer(spark):
