@@ -32,6 +32,41 @@ from .session import get_spark
 from .sources.corpus import allowed_sources_df, generate_corpus
 
 
+def _hadoop_path(spark: SparkSession, uri: str):
+    """(Path, FileSystem) for any URI scheme Spark's Hadoop conf knows
+    (file://, hdfs://, s3a://, ...) — sidecar IO must not assume the
+    job's output directory is a local path."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return path, fs
+
+
+def _write_text_sidecar(spark: SparkSession, uri: str, text: str) -> None:
+    path, fs = _hadoop_path(spark, uri)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text_sidecar(spark: SparkSession, uri: str) -> str | None:
+    """Contents of ``uri`` or None if absent — the remote-safe analogue
+    of the os.path.exists + open() pattern."""
+    path, fs = _hadoop_path(spark, uri)
+    if not fs.exists(path):
+        return None
+    stream = fs.open(path)
+    try:
+        jvm = spark.sparkContext._jvm
+        buf = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 4096, False)
+        return buf.toString("UTF-8")
+    finally:
+        stream.close()
+
+
 def repartition_salted(
     df: DataFrame,
     cfg: ValidationConfig | None = None,
@@ -534,13 +569,15 @@ def main(argv: list[str] | None = None) -> int:
                 args.output
             )
             # sidecar: the tokenizer artifact a validate run needs
-            # (vocab_size bounds the token-range check exactly)
-            with open(
-                os.path.join(args.output, "_tokenizer.json"), "w"
-            ) as fh:
-                json.dump(
-                    {"merges": merges, "vocab_size": len(vocab)}, fh
-                )
+            # (vocab_size bounds the token-range check exactly). Written
+            # through the Hadoop FileSystem API so remote output URIs
+            # (s3://, hdfs://) work — a local open() would crash AFTER
+            # the expensive parquet write completed
+            _write_text_sidecar(
+                spark,
+                args.output.rstrip("/") + "/_tokenizer.json",
+                json.dumps({"merges": merges, "vocab_size": len(vocab)}),
+            )
             n = spark.read.parquet(args.output).count()
             print(json.dumps({
                 "rows": n,
@@ -630,15 +667,15 @@ def main(argv: list[str] | None = None) -> int:
                 # the tokenize job records the EXACT id bound with the
                 # table it wrote — prefer it over the generic default so
                 # the token-range check is tight by default
-                sidecar = os.path.join(args.input, "_tokenizer.json")
-                if os.path.exists(sidecar):
-                    with open(sidecar) as fh:
-                        vocab_size = int(json.load(fh)["vocab_size"])
+                sidecar = args.input.rstrip("/") + "/_tokenizer.json"
+                sidecar_text = _read_text_sidecar(spark, sidecar)
+                if sidecar_text is not None:
+                    vocab_size = int(json.loads(sidecar_text)["vocab_size"])
                 else:
                     vocab_size = 50257
-                    # the autodetect only sees LOCAL paths; on a remote
-                    # URI or glob the loose default silently weakens the
-                    # token-range check, so say so
+                    # on a glob input the sidecar probe can't resolve a
+                    # single directory, and the loose default silently
+                    # weakens the token-range check, so say so
                     print(
                         f"validate: no {sidecar} found — using the "
                         f"generic vocab_size={vocab_size}; pass "

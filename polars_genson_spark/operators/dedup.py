@@ -56,11 +56,13 @@ def _cap_hot_buckets(
         "generation (pairs from these buckets are not examined)",
         what, n_hot, bucket_max,
     )
-    # the persisted hot list stays pinned until the anti-join below is
-    # consumed; Spark's ContextCleaner releases it with the reference
-    return entries.join(
-        F.broadcast(hot.select(*key_cols)), key_cols, "left_anti"
-    )
+    # materialize the (tiny) hot key list eagerly so the cached rollup
+    # can be released NOW rather than pinning storage until ContextCleaner
+    # GC — long-lived sessions (bench loops, notebooks) would otherwise
+    # accumulate one pinned rollup per invocation
+    hot_keys = hot.select(*key_cols).localCheckpoint(eager=True)
+    hot.unpersist()
+    return entries.join(F.broadcast(hot_keys), key_cols, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -634,7 +636,7 @@ def near_dup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
     method: str = "label",
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair set: every doc that
     appears in a pair gets the component label min(reachable doc_id).
@@ -658,10 +660,13 @@ def near_dup_clusters(
     PAIR set is collision-rate-sized, often thousands of rows even for
     huge corpora, and iterative BSP pays multi-second per-round
     scheduling latency that dwarfs the actual work (measured 12 s for a
-    371-pair graph vs milliseconds driver-side). Distributed iteration
-    engages only past the threshold, where the edge set is genuinely too
-    big to collect (1M edges ≈ 16 MB — comfortably collectable; set 0
-    to force the distributed path).
+    371-pair graph vs milliseconds driver-side). The edge set is pulled
+    via Arrow (``toPandas``), so 100k symmetrized edges cost two compact
+    numpy columns (~a few MB), not per-Row Python objects; the default
+    cap of 100k keeps the transient driver footprint — Arrow batch plus
+    the union-find dicts — in the tens of MB even for wide string ids.
+    Distributed iteration engages past the threshold (set 0 to force
+    the distributed path).
     """
     if method == "star":
         return star_components(pairs, max_iterations)
@@ -678,8 +683,12 @@ def near_dup_clusters(
         .persist()
     )
     if driver_threshold and edges.limit(driver_threshold + 1).count() <= driver_threshold:
-        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        # Arrow transfer: two flat columns, no per-Row Python objects —
+        # ~16 bytes/edge for long ids vs ~200+ bytes/Row via collect()
+        pdf = edges.toPandas()
         edges.unpersist()
+        rows = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
+        del pdf
         labels = _driver_union_find(rows)
         import pyspark.sql.types as T
 

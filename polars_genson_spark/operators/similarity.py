@@ -630,18 +630,14 @@ def semantic_decontaminate(
         )
         .where(F.col("cosine") >= threshold)
     )
-    # one ordered struct picks both outputs: highest cosine, then lowest
-    # bench id on ties — the same (cosine DESC, bench_id ASC) rule an
-    # oracle expresses with row_number
-    best = F.struct(
-        F.col("cosine").alias("c"), (-F.col("bench_id")).alias("nb")
+    # row_number over (cosine DESC, bench_id ASC) picks both outputs —
+    # unlike a max-of-struct with a negated id it works for ANY id type
+    # (negating a string id casts to double and yields NULL silently)
+    w = Window.partitionBy("id").orderBy(
+        F.col("cosine").desc(), F.col("bench_id").asc()
     )
     return (
-        pairs.groupBy("id")
-        .agg(F.max(best).alias("_m"))
-        .select(
-            "id",
-            F.col("_m.c").alias("max_cosine"),
-            (-F.col("_m.nb")).alias("bench_id"),
-        )
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("id", F.col("cosine").alias("max_cosine"), "bench_id")
     )

@@ -150,9 +150,17 @@ def bpe_tokenize(
     — URLs, hashes, code — would otherwise grow it unboundedly for the
     partition's lifetime)."""
     import pandas as pd
+    from pyspark.sql import types as T
 
     ranks = {pair: i for i, pair in enumerate(merges)}
-    out_schema = f"{id_col} long, {out_col} array<string>, n_bpe int"
+    # the id field keeps the INPUT's dtype — a string-id corpus (the
+    # shape the validate token table itself uses) would fail Arrow
+    # conversion against a hardcoded long
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField(out_col, T.ArrayType(T.StringType())),
+        T.StructField("n_bpe", T.IntegerType()),
+    ])
 
     def run(batches):
         cache: dict[str, list[str]] = {}
@@ -219,9 +227,14 @@ def bpe_tokenize_ids(
     shape the validation engine consumes. Unknown tokens map to id 0.
     Word split + cache policy identical to :func:`bpe_tokenize`."""
     import pandas as pd
+    from pyspark.sql import types as T
 
     ranks = {pair: i for i, pair in enumerate(merges)}
-    out_schema = f"{id_col} long, tokens array<int>, n_tok int"
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+    ])
 
     def run(batches):
         cache: dict[str, list[int]] = {}
