@@ -85,24 +85,37 @@ def main() -> None:
         except Exception:
             pass  # warm-up only; real failures surface in the timed run
 
+    # best-of-3 with min/max spread per query: the shared host's noise
+    # windows (r03 recorded a phantom -31% on untouched code) must be
+    # visible in the artifact, not mistakable for regressions
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in headline:
-        best = None
-        for _rep in range(2):  # best-of-2: de-noises shared-host jitter
+        samples = []
+        for _rep in range(reps):
             t0 = time.perf_counter()
             df = q[name](spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            df.count()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        spreads[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
     # flagship throughput: validated sequences/sec on the corpus view
     corpus = E.corpus_view(spark, sf_dir)
     n_rows = corpus.count()
-    t0 = time.perf_counter()
-    q["corpus_verdicts"](spark, sf_dir).collect()
-    validate_sec = time.perf_counter() - t0
+    full_samples = []
+    for _rep in range(reps):
+        t0 = time.perf_counter()
+        q["corpus_verdicts"](spark, sf_dir).collect()
+        full_samples.append(time.perf_counter() - t0)
+    full_samples.sort()
+    validate_sec = full_samples[0]
     timings["corpus_validate_full"] = round(validate_sec, 3)
+    spreads["corpus_validate_full"] = [
+        round(full_samples[0], 3), round(full_samples[-1], 3)
+    ]
 
     # flagship at scale: full validation of a generated 1M-row corpus
     # (generation + cache materialisation excluded from the timed window)
@@ -120,18 +133,22 @@ def main() -> None:
     big = generate_corpus(spark, n_big, seed=42).persist()
     big.count()
     allowed = allowed_sources_df(spark)
-    big_sec = None
-    for _rep in range(2):  # best-of-2
+    big_samples = []
+    for _rep in range(reps):
         t0 = time.perf_counter()
         report = validate_corpus(big, allowed, ValidationConfig())
         finalise_summary(report)
         report.violations.count()
-        dt = time.perf_counter() - t0
+        big_samples.append(time.perf_counter() - t0)
         report.violations.unpersist()
         report.verdicts.unpersist()
-        big_sec = dt if big_sec is None or dt < big_sec else big_sec
     big.unpersist()
+    big_samples.sort()
+    big_sec = big_samples[0]
     timings["corpus_validate_1m"] = round(big_sec, 3)
+    spreads["corpus_validate_1m"] = [
+        round(big_samples[0], 3), round(big_samples[-1], 3)
+    ]
 
     # schema-inference throughput (reference benchmarks 10-row latency at
     # ~36.6 inferences/s; we measure docs/sec through the same pipeline)
@@ -158,22 +175,35 @@ def main() -> None:
         )
         n_labels = labels.count()
         lcfg = pgs.InferenceConfig(wrap_root="labels")
-        t0 = time.perf_counter()
-        pgs.infer_json_schema(labels, "labels", lcfg)
-        infer_dt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        (
-            pgs.normalise_json(labels, "labels", lcfg, decode=True)
-            .select(F.sum(F.length(F.to_json("labels"))))
-            .collect()
-        )
-        norm_dt = time.perf_counter() - t0
+        infer_samples, norm_samples = [], []
+        for _rep in range(reps):  # median-of-N: r03's single shot
+            # recorded a 31% host-noise window as a regression
+            t0 = time.perf_counter()
+            pgs.infer_json_schema(labels, "labels", lcfg)
+            infer_samples.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            (
+                pgs.normalise_json(labels, "labels", lcfg, decode=True)
+                .select(F.sum(F.length(F.to_json("labels"))))
+                .collect()
+            )
+            norm_samples.append(time.perf_counter() - t0)
         labels.unpersist()
+        infer_samples.sort()
+        norm_samples.sort()
+        infer_dt = infer_samples[len(infer_samples) // 2]
+        norm_dt = norm_samples[len(norm_samples) // 2]
         # reported as standalone fields, NOT in the suite total: the
         # cross-round headline comparison must stay like-for-like
         extra_labels = {
             "labels_infer_sec": round(infer_dt, 3),
+            "labels_infer_spread": [
+                round(infer_samples[0], 3), round(infer_samples[-1], 3)
+            ],
             "labels_normalise_sec": round(norm_dt, 3),
+            "labels_normalise_spread": [
+                round(norm_samples[0], 3), round(norm_samples[-1], 3)
+            ],
             "labels_docs": n_labels,
             "labels_infer_docs_per_sec": round(n_labels / infer_dt, 1),
             "labels_normalise_docs_per_sec": round(n_labels / norm_dt, 1),
@@ -181,12 +211,51 @@ def main() -> None:
     else:
         extra_labels = {}
 
+    # BPE apply throughput (VERDICT r03 task 3): the one hot-path
+    # component that is Python-bound — quantified so the compiled
+    # swap-in decision (tokenizer.py docstring) is data-driven.
+    # Training (one corpus rollup + driver merge loop) stays outside
+    # the timed window; the timed region is the mapInPandas apply.
+    from polars_genson_spark.operators.tokenizer import (
+        bpe_tokenize_ids,
+        train_bpe_with_vocab,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+    n_bpe_docs = docs.count()
+    merges, vocab = train_bpe_with_vocab(docs, n_merges=200)
+    bpe_samples, n_bpe_tokens = [], 0
+    for _rep in range(reps):
+        t0 = time.perf_counter()
+        n_bpe_tokens = (
+            bpe_tokenize_ids(docs, merges, vocab)
+            .agg(F.sum("n_tok"))
+            .collect()[0][0]
+        )
+        bpe_samples.append(time.perf_counter() - t0)
+    docs.unpersist()
+    bpe_samples.sort()
+    bpe_sec = bpe_samples[0]
+    extra_labels.update({
+        "bpe_apply_sec": round(bpe_sec, 3),
+        "bpe_apply_spread": [
+            round(bpe_samples[0], 3), round(bpe_samples[-1], 3)
+        ],
+        "bpe_docs": n_bpe_docs,
+        "bpe_tokens": int(n_bpe_tokens),
+        "bpe_docs_per_sec": round(n_bpe_docs / bpe_sec, 1),
+        "bpe_tokens_per_sec": round(n_bpe_tokens / bpe_sec, 1),
+    })
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
+        "bench_reps": reps,
         "sf": sf,
         **extra_labels,
         "validated_rows": n_rows,
