@@ -56,12 +56,15 @@ def _cap_hot_buckets(
         "generation (pairs from these buckets are not examined)",
         what, n_hot, bucket_max,
     )
-    # materialize the (tiny) hot key list eagerly so the cached rollup
-    # can be released NOW rather than pinning storage until ContextCleaner
-    # GC — long-lived sessions (bench loops, notebooks) would otherwise
-    # accumulate one pinned rollup per invocation
-    hot_keys = hot.select(*key_cols).localCheckpoint(eager=True)
+    # pull the hot key list to the driver (rollup-sized by construction:
+    # only buckets above the cap) and rebuild it as a literal frame, so
+    # the cached rollup is released NOW — leaving it persisted until
+    # ContextCleaner GC accumulates pinned storage across repeated
+    # curate/bench invocations in a long-lived session
+    key_schema = hot.select(*key_cols).schema
+    hot_rows = hot.select(*key_cols).collect()
     hot.unpersist()
+    hot_keys = entries.sparkSession.createDataFrame(hot_rows, key_schema)
     return entries.join(F.broadcast(hot_keys), key_cols, "left_anti")
 
 

@@ -450,6 +450,9 @@ def pack_sequences(
     id_col: str = "doc_id",
     tokens_col: str = "chunk_tokens",
     pad_id: int | None = None,
+    deterministic: bool = False,
+    num_partitions: int | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Pack chunks into training sequences of at most ``context_len``
     tokens (greedy first-fit) — the batch-assembly step after
@@ -459,9 +462,16 @@ def pack_sequences(
     Scale shape: packing is PER PARTITION inside ``mapInPandas`` (the
     standard approach — no shuffle, no global state; cross-partition
     packing would serialize the corpus for a ~1% fill gain). Determinism
-    therefore depends on the input partitioning: sort/repartition
-    upstream (e.g. ``repartitionByRange(id).sortWithinPartitions(id)``)
-    for reproducible packs.
+    therefore depends on the input partitioning; pass
+    ``deterministic=True`` to impose a canonical layout internally:
+    hash-repartition on ``xxhash64(id)`` into ``num_partitions``
+    (default ``spark.sql.shuffle.partitions``) then sort within
+    partitions by ``order_cols`` (default ``[id, tokens]`` — a total
+    order up to interchangeable duplicate rows). Hash partitioning is
+    used rather than ``repartitionByRange`` because range boundaries
+    come from RDD-id-seeded sampling and can shift between runs; a hash
+    of the id cannot. Costs one shuffle; identical input then yields
+    identical packs regardless of upstream partitioning.
 
     Output per sequence: tokens (padded to ``context_len`` iff
     ``pad_id`` is set), n_tokens (pre-pad), boundaries (start offset of
@@ -544,4 +554,17 @@ def pack_sequences(
                          "boundaries", "source_ids", "fill_ratio"],
             )
 
-    return df.select(id_col, tokens_col).mapInPandas(run, out_schema)
+    if deterministic:
+        n = num_partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        cols = order_cols or [id_col, tokens_col]
+        extra = [c for c in cols if c not in (id_col, tokens_col)]
+        src = (
+            df.select(id_col, tokens_col, *extra)
+            .repartition(n, F.xxhash64(F.col(id_col)))
+            .sortWithinPartitions(*cols)
+        )
+    else:
+        src = df.select(id_col, tokens_col)
+    return src.mapInPandas(run, out_schema)

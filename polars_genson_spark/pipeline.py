@@ -294,13 +294,27 @@ def curate(
                 "have to drop tokens from every full chunk"
             )
 
+        # partition count derives from the (already-counted) chunk total:
+        # every partition ends with up to ~open-bin-limit partial packs,
+        # so tiny inputs over many partitions would bleed fill ratio; at
+        # scale chunks//64 exceeds the session default and caps there
+        default_par = int(
+            chunks.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        pack_parts = max(1, min(default_par, counts["chunks"] // 64))
         chunks = stage(
             pack_sequences(
-                chunks.repartitionByRange(cfg.id_col, "chunk_id")
-                .sortWithinPartitions(cfg.id_col, "chunk_id"),
+                chunks,
                 cfg.pack_context_len,
                 id_col=cfg.id_col,
                 pad_id=cfg.pack_pad_id,
+                # canonical hash partitioning + (id, chunk_id) order:
+                # two curate runs over differently-partitioned input
+                # produce byte-identical packs (range partitioning's
+                # sampled boundaries would not guarantee this)
+                deterministic=True,
+                num_partitions=pack_parts,
+                order_cols=[cfg.id_col, "chunk_id"],
             ),
             "packed",
         )
