@@ -320,6 +320,57 @@ def q_word_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_minhash_verified_pairs(spark, sf_dir):
+    """MinHash+LSH candidates verified by exact full-shingle-set Jaccard
+    (no df cutoff): the output is exactly the SQL-computable set of pairs
+    with J >= 0.5, so the driver hash pins LSH RECALL — an engine change
+    that misses a true pair hash-mismatches. Banding 32 perms / 16 bands
+    (r=2): P(miss | J=0.5) = (1-0.25)^16 ≈ 1% per pair; measured 0
+    misses on the <500-doc slice at sf0.001/0.01/0.1. est_jaccard
+    filtering is OFF (min_jaccard=0) — only banding gates candidates, so
+    the pin measures the LSH scheme, not the signature estimate."""
+    from polars_genson_spark.operators.dedup import (
+        minhash_candidates,
+        verify_pairs_jaccard,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    cand = minhash_candidates(d, num_perm=32, bands=16, min_jaccard=0.0)
+    out = verify_pairs_jaccard(cand, d, min_jaccard=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_simhash_verified_pairs(spark, sf_dir):
+    """SimHash candidates verified by exact full-shingle-set Jaccard —
+    the SimHash analogue of minhash_verified_pairs. 16×4-bit chunk
+    banding guarantees capture at Hamming ≤ 15 (pigeonhole); true
+    J>=0.5 pairs on the test slice measure Hamming ≤ 9, so the margin
+    is 6 bits and the verified output equals the SQL truth set. A
+    SimHash regression (sign flips, chunking bug) drops a true pair and
+    hash-mismatches."""
+    from polars_genson_spark.operators.dedup import (
+        simhash_candidates,
+        verify_pairs_jaccard,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    cand = simhash_candidates(d, max_hamming=15, n_chunks=16)
+    out = verify_pairs_jaccard(cand, d, min_jaccard=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     from polars_genson_spark.operators.similarity import pairwise_topk
 
@@ -1436,13 +1487,60 @@ def _ivf_topk_sql(n_vec: int, n_centroids: int, n_probe: int, seed: int, k: int)
     """
 
 
+# exact full-shingle-set trigram Jaccard >= 0.5 over the <500-doc slice:
+# the shared truth set for the MinHash- and SimHash-verified pair queries
+# (mirrors the word_jaccard_pairs CTE chain, WITHOUT the hot-shingle df
+# cutoff — verification uses ALL distinct shingles)
+_VERIFIED_PAIRS_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   AS norm,
+               string_split_regex(trim(regexp_replace(lower(text),
+                   '\\s+', ' ', 'g')), ' ') AS words
+        FROM documents WHERE doc_id < 500
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 3
+                    THEN list_distinct(
+                        [array_to_string(words[i:i+2], ' ')
+                         FOR i IN generate_series(1, len(words) - 2)])
+                    ELSE [norm] END AS shingles
+        FROM w
+    ),
+    inv AS (
+        SELECT doc_id, len(shingles) AS n_sh,
+               unnest(shingles) AS shingle
+        FROM sh
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n_sh AS n_a, b.n_sh AS n_b,
+               count(*) AS n_common
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(round(n_common * 1.0 / (n_a + n_b - n_common), 6), 4)
+               AS jaccard
+    FROM pairs
+    WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 6) >= 0.5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every unique oracled capability sits inside the driver's
     50-query check window: core north-rule checks, then the genson-heritage
     flagships, then the training-data pipeline ops, then the non-redundant
-    relational queries. The tail (past 50) holds the 13 oracled queries
-    whose *patterns* are already covered earlier (six TPC-H variants and
-    seven near-duplicate capabilities) and the 6 genuinely rows-only ones."""
+    relational queries. The tail (past 50) holds the oracled queries whose
+    *patterns* are already covered earlier (TPC-H variants, near-duplicate
+    capabilities, embedding_topk_ivf ~ embedding_topk_lsh, psi_daily_events
+    ~ psi_nchars — all hashdiff-verified each round via tools_hashdiff.py)
+    and the 6 genuinely rows-only ones. Round 4 promoted the MinHash and
+    SimHash engines into the window as recall-pinned verified-pair queries
+    (see q_minhash_verified_pairs / q_simhash_verified_pairs)."""
     return {
         # -- north-rule checks (SURVEY §2.3): stats / uniqueness /
         #    referential / drift / verdicts -------------------------------
@@ -1456,7 +1554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_nchars_chi2": q_drift_nchars_chi2,
         "drift_ks_nchars": q_drift_ks_nchars,
         "psi_nchars": q_psi_nchars,
-        "psi_daily_events": q_psi_daily_events,
         "corpus_verdicts": q_corpus_verdicts,
         "schema_drift_events": q_schema_drift_events,
         # -- genson heritage (schema inference / normalisation) -----------
@@ -1468,11 +1565,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- training-data pipeline ops (dedup / ANN / text / quality) ----
         "dedup_exact_text": q_dedup_exact_text,
         "near_dup_clusters": q_near_dup_clusters,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "simhash_verified_pairs": q_simhash_verified_pairs,
         "decontaminate_trigram": q_decontaminate_trigram,
         "semantic_dedup": q_semantic_dedup,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_lsh": q_embedding_topk_lsh,
-        "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_dupes": q_embedding_near_dupes,
         "token_counts": q_token_counts,
         "quality": q_quality,
@@ -1501,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         # ---- driver's 50-query window ends here (dict order is stable) --
         # oracled but pattern-redundant with the first 50
+        "psi_daily_events": q_psi_daily_events,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "q4_priority_late": q4_priority_late,
         "q6_band_revenue": q6_band_revenue,
         "q16_supplier_cnt": q16_supplier_cnt,
@@ -1939,6 +2039,13 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE round(n_common * 1.0 / (n_a + n_b - n_common), 6) >= 0.5
         """,
+        # minhash/simhash verified pairs: both equal the exact
+        # full-shingle-set Jaccard >= 0.5 truth set (no df cutoff) —
+        # candidate generation is engine-side; the hash pins that NO true
+        # pair is missed (recall = 1.0 on this slice, margin documented
+        # in the query docstrings)
+        "minhash_verified_pairs": _VERIFIED_PAIRS_SQL,
+        "simhash_verified_pairs": _VERIFIED_PAIRS_SQL,
         "embedding_topk": """
             WITH pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

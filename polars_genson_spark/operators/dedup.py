@@ -347,13 +347,28 @@ def simhash_candidates(
     max_hamming: int = 3,
     cache_entries: bool = True,
     bucket_max: int | None = None,
+    n_chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding (4×16-bit chunks: any pair within
-    Hamming distance ≤3 shares at least one exact chunk — pigeonhole).
+    """Near-dup pairs by SimHash banding (``n_chunks`` equal bit chunks,
+    default 4×16-bit: any pair within Hamming distance ``n_chunks - 1``
+    shares at least one exact chunk — pigeonhole). Raise ``n_chunks`` to
+    capture at a larger Hamming radius (16×4-bit guarantees ≤15) at the
+    cost of ``n_chunks`` index entries per doc and noisier buckets.
     ``cache_entries`` persists the chunk table so the 64-bit fingerprint is
     computed once, not once per self-join side. ``bucket_max`` drops
     over-full chunk buckets before the self-join (skew guard; see
     :func:`_cap_hot_buckets`)."""
+    if 64 % n_chunks:
+        raise ValueError(f"n_chunks={n_chunks} must divide 64")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    if max_hamming > n_chunks - 1:
+        log.warning(
+            "simhash_candidates: max_hamming=%d exceeds the pigeonhole "
+            "guarantee of n_chunks-1=%d — pairs at Hamming distance in "
+            "(%d, %d] are only found if they happen to share a chunk",
+            max_hamming, n_chunks - 1, n_chunks - 1, max_hamming,
+        )
     sh = with_simhash(df, text_col).select(
         F.col(id_col).alias("id"), "simhash"
     )
@@ -365,11 +380,11 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chash"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("cc"),
@@ -476,6 +491,47 @@ def ngram_jaccard_pairs(
     )
     return (
         inter.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact full-shingle-set Jaccard for a GIVEN candidate pair set
+    (id_a, id_b): the verification stage after MinHash/SimHash candidate
+    generation. Unlike :func:`ngram_jaccard_pairs` (inverted index over
+    the whole corpus, ``df_max``-capped), this joins each candidate pair
+    to its two shingle arrays directly — cost bounded by |pairs|, which
+    is collision-rate-sized after LSH, and the Jaccard uses ALL distinct
+    shingles (no document-frequency cutoff), so the output is exactly
+    the SQL-expressible truth an oracle recomputes: |A∩B| / |A∪B| over
+    distinct word n-grams. Returns (id_a, id_b, jaccard) for pairs at or
+    above ``min_jaccard`` (jaccard rounded to 6 places, matching
+    :func:`ngram_jaccard_pairs`)."""
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("_vid"), F.col("shingles").alias("_vsh")
+    )
+    joined = (
+        pairs.select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .join(sh, F.col("id_a") == F.col("_vid"))
+        .select("id_a", "id_b", F.col("_vsh").alias("_sh_a"))
+        .join(sh, F.col("id_b") == F.col("_vid"))
+        .select("id_a", "id_b", "_sh_a", F.col("_vsh").alias("_sh_b"))
+    )
+    n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    jac = n_common / (
+        F.size("_sh_a") + F.size("_sh_b") - n_common
+    )
+    return (
+        joined.withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
