@@ -116,7 +116,14 @@ def run_validation(
     summary: dict[str, Any] = {}
     if todo:
         subset = corpus.where(F.col(cfg.source_col).isin([str(s) for s in todo]))
-        report = validate_corpus(subset, allowed, cfg)
+        # drift baseline stays the FULL corpus on partial revalidation:
+        # each source's chi²/KS/PSI is measured against "the rest", and
+        # a subset-sized rest would disagree with the from-scratch run
+        # (and with the carried-forward metrics of skipped partitions)
+        report = validate_corpus(
+            subset, allowed, cfg,
+            drift_reference=corpus if skipped else None,
+        )
         summary = finalise_summary(report)
         metrics = {
             str(k): {kk: vv for kk, vv in v.items()}
@@ -409,6 +416,10 @@ def main(argv: list[str] | None = None) -> int:
                         "token id")
     c.add_argument("--min-jaccard", type=float, default=0.8)
     c.add_argument("--no-near-dup", action="store_true")
+    c.add_argument("--no-counts", action="store_true",
+                   help="production fast path: skip per-stage row counts "
+                        "(one count job per stage); summary reports only "
+                        "the final written row count")
     c.add_argument("--embeddings", default=None,
                    help="embeddings parquet enabling the SemDeDup stage")
     c.add_argument("--benchmark-embeddings", default=None,
@@ -541,9 +552,13 @@ def main(argv: list[str] | None = None) -> int:
                 docs, benchmark, cfg,
                 embeddings=embeddings,
                 benchmark_embeddings=bench_emb,
+                counts=not args.no_counts,
             )
             result.chunks.write.mode("overwrite").parquet(args.output)
-            print(json.dumps(result.summary()))
+            summary = result.summary()
+            if args.no_counts:
+                summary["written"] = spark.read.parquet(args.output).count()
+            print(json.dumps(summary))
             return 0
         if args.cmd == "tokenize":
             from .operators.tokenizer import (

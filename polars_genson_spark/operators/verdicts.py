@@ -48,9 +48,19 @@ def validate_corpus(
     allowed_sources: DataFrame | None = None,
     cfg: ValidationConfig | None = None,
     exact_duplicates: bool = True,
+    drift_reference: DataFrame | None = None,
 ) -> ValidationReport:
     """Run the full validation suite; returns per-source verdicts plus the
-    violation rows (lazily evaluated DataFrames)."""
+    violation rows (lazily evaluated DataFrames).
+
+    ``drift_reference``: optional frame to build the drift baseline from
+    instead of ``df`` itself. Drift is each-source-vs-the-rest, so when
+    ``df`` is a resume SUBSET of the corpus, "the rest" would otherwise
+    shrink to the revalidated cohort and chi²/KS/PSI would disagree with
+    a from-scratch run. Passing the full corpus here restores identical
+    baselines at the cost of one extra one-pass histogram rollup — the
+    same cost class as the resume fingerprint scan. Only drift uses it;
+    stats and violations still cover ``df`` alone."""
     cfg = cfg or ValidationConfig()
     spark = df.sparkSession
     c = F.col
@@ -160,7 +170,7 @@ def validate_corpus(
     # ---- drift (KB-sized rollup → driver) ----
     drift: list[dict] = []
     if cfg.check_drift:
-        hist = token_id_histogram(df, cfg).collect()
+        hist = token_id_histogram(drift_reference or df, cfg).collect()
         drift = drift_from_histogram((r.asDict() for r in hist), cfg)
     if drift:
         drift_df = spark.createDataFrame(

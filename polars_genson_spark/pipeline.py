@@ -107,6 +107,7 @@ def curate(
     cfg: CurateConfig | None = None,
     embeddings: DataFrame | None = None,
     benchmark_embeddings: DataFrame | None = None,
+    counts: bool = True,
 ) -> CurateResult:
     """Run the curation pipeline; returns the chunk table plus per-stage
     surviving-row counts.
@@ -114,20 +115,26 @@ def curate(
     ``benchmark_embeddings`` (with ``embeddings``) enables the semantic
     decontamination stage: docs whose embedding is τ-close to any
     benchmark embedding are dropped — the paraphrase-level complement of
-    the n-gram ``benchmark`` stage."""
+    the n-gram ``benchmark`` stage.
+
+    ``counts=False`` is the production fast path: per-stage row counts
+    are skipped (``stage_counts`` comes back empty), saving one count
+    job per stage. Stages are still localCheckpointed (lazily) so the
+    plan tree stays truncated and no stage lineage executes twice."""
     cfg = cfg or CurateConfig()
-    counts: dict[str, int] = {}
+    stage_counts: dict[str, int] = {}
 
     def stage(df: DataFrame, name: str) -> DataFrame:
-        # localCheckpoint at every counted stage boundary: materialises the
+        # localCheckpoint at every stage boundary: materialises the
         # stage once (no stage lineage ever executes twice) AND truncates
         # the logical plan — chaining eight stages incl. the 32-agg MinHash
         # and the iterative clustering otherwise grows a plan tree large
         # enough to OOM the driver just STRINGIFYING it. At cluster scale
         # swap for reliable checkpoints (spark.sparkContext.setCheckpointDir)
         # if executor loss matters; the shape is identical.
-        df = df.localCheckpoint(eager=True)
-        counts[name] = df.count()
+        df = df.localCheckpoint(eager=counts)
+        if counts:
+            stage_counts[name] = df.count()
         return df
 
     cur = stage(docs, "input")
@@ -297,11 +304,17 @@ def curate(
         # partition count derives from the (already-counted) chunk total:
         # every partition ends with up to ~open-bin-limit partial packs,
         # so tiny inputs over many partitions would bleed fill ratio; at
-        # scale chunks//64 exceeds the session default and caps there
+        # scale chunks//64 exceeds the session default and caps there.
+        # On the counts=False fast path there is no chunk count — use the
+        # session default (production-scale inputs exceed it anyway)
         default_par = int(
             chunks.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        pack_parts = max(1, min(default_par, counts["chunks"] // 64))
+        pack_parts = (
+            max(1, min(default_par, stage_counts["chunks"] // 64))
+            if counts
+            else default_par
+        )
         chunks = stage(
             pack_sequences(
                 chunks,
@@ -319,4 +332,4 @@ def curate(
             "packed",
         )
 
-    return CurateResult(chunks=chunks, stage_counts=counts)
+    return CurateResult(chunks=chunks, stage_counts=stage_counts)

@@ -145,6 +145,148 @@ def test_semantic_decontaminate_string_ids(spark):
     assert row["max_cosine"] == pytest.approx(1.0)
 
 
+def _strip_volatile(p):
+    return {k: v for k, v in p.items() if k not in ("created_at",)}
+
+
+def test_resume_from_partial_manifest(spark, tmp_path):
+    """A run that died mid-way leaves a manifest covering only SOME
+    partitions; resume must skip exactly the intact ones, recompute the
+    missing ones, and converge to the same per-partition metrics as a
+    from-scratch run — including the config-fingerprint invalidation
+    path end-to-end (VERDICT r03 task 6)."""
+    import json
+    import os
+
+    from polars_genson_spark import checkpoint as ckpt
+    from polars_genson_spark.config import ValidationConfig
+    from polars_genson_spark.jobs import run_validation
+    from polars_genson_spark.sources.corpus import (
+        allowed_sources_df,
+        generate_corpus,
+    )
+
+    run_dir = str(tmp_path / "run")
+    corpus = generate_corpus(spark, 8000, seed=11).persist()
+    allowed = allowed_sources_df(spark)
+
+    full = run_validation(
+        spark, corpus, allowed, run_dir, write_outputs=False
+    )
+    golden = {
+        k: _strip_volatile(v) for k, v in full["partitions"].items()
+    }
+    sources = sorted(golden)
+    assert len(sources) > 5
+
+    # simulate the mid-run death: keep only half the partitions'
+    # fingerprints + metrics, as if the writer stopped part-way
+    manifest = ckpt.load_manifest(run_dir)
+    kept = sources[: len(sources) // 2]
+    lost = sources[len(sources) // 2:]
+    manifest["fingerprints"] = {
+        s: manifest["fingerprints"][s] for s in kept
+    }
+    manifest["partitions"] = {s: manifest["partitions"][s] for s in kept}
+    ckpt.save_manifest(run_dir, manifest)
+
+    resumed = run_validation(
+        spark, corpus, allowed, run_dir, write_outputs=False
+    )
+    assert resumed["skipped"] == kept
+    assert resumed["validated"] == lost
+    assert {
+        k: _strip_volatile(v) for k, v in resumed["partitions"].items()
+    } == golden
+
+    # config change → EVERY partition revalidates despite matching
+    # fingerprints, and the new manifest records the new config_fp
+    cfg2 = ValidationConfig(max_seq_len=64)
+    r3 = run_validation(
+        spark, corpus, allowed, run_dir, cfg=cfg2, write_outputs=False
+    )
+    assert r3["skipped"] == []
+    assert r3["validated"] == sources
+    m3 = ckpt.load_manifest(run_dir)
+    assert m3["config_fp"] == ckpt.config_fingerprint(cfg2)
+
+    # pre-upgrade manifest (no config_fp at all) also invalidates skips
+    del m3["config_fp"]
+    ckpt.save_manifest(run_dir, m3)
+    r4 = run_validation(
+        spark, corpus, allowed, run_dir, cfg=cfg2, write_outputs=False
+    )
+    assert r4["skipped"] == []
+    corpus.unpersist()
+
+    # a half-written manifest file (crash DURING save before the atomic
+    # rename) must be invisible: the .tmp never becomes manifest.json
+    path = os.path.join(run_dir, ckpt.MANIFEST_NAME)
+    with open(path) as fh:
+        json.load(fh)  # current manifest parses
+    with open(path + ".tmp", "w") as fh:
+        fh.write('{"version": 1, "partitions": {')  # torn write
+    assert ckpt.load_manifest(run_dir)["version"] == 1  # unaffected
+
+
+def test_validate_cli_survives_sigkill(tmp_path):
+    """Kill `jobs validate` mid-run with SIGKILL; the run directory must
+    hold either no manifest or an intact previous one (atomic rename),
+    and a rerun completes normally from that state."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    corpus_dir = str(tmp_path / "corpus")
+    run_dir = str(tmp_path / "run")
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    gen = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "generate",
+         "--output", corpus_dir, "--rows", "120000", "--seed", "5"],
+        env=env, capture_output=True, timeout=300,
+    )
+    assert gen.returncode == 0, gen.stderr[-2000:]
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "validate",
+         "--input", corpus_dir, "--output", run_dir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+    )
+    # let the JVM spin up and the job get airborne, then kill hard
+    deadline = time.time() + 60
+    while time.time() < deadline and proc.poll() is None:
+        if os.path.isdir(run_dir):  # run dir exists → work started
+            time.sleep(2.0)
+            break
+        time.sleep(0.5)
+    assert proc.poll() is None, "validate finished before the kill"
+    proc.send_signal(signal.SIGKILL)
+    proc.wait(timeout=60)
+
+    mpath = os.path.join(run_dir, "manifest.json")
+    if os.path.exists(mpath):  # either absent, or fully-formed JSON
+        with open(mpath) as fh:
+            json.load(fh)
+
+    rerun = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "validate",
+         "--input", corpus_dir, "--output", run_dir],
+        env=env, capture_output=True, timeout=600,
+    )
+    out = json.loads(rerun.stdout.decode().strip().splitlines()[-1])
+    manifest = json.load(open(mpath))
+    # every corpus partition ends up covered exactly once
+    assert set(manifest["partitions"]) == set(
+        manifest["fingerprints"]
+    )
+    assert sorted(out["validated"] + out["skipped"]) == sorted(
+        manifest["partitions"]
+    )
+
+
 def test_cap_hot_buckets_releases_cache(spark):
     """_cap_hot_buckets must not leave its rollup pinned in storage when
     hot buckets exist (ADVICE r03 leak)."""
