@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import sys
 import time
@@ -364,6 +365,14 @@ def scaling_bench(
 
 
 def main(argv: list[str] | None = None) -> int:
+    # surface the engine's own path-selection lines (driver vs
+    # distributed CC, hot-bucket cap trips) on CLI runs — scale-run
+    # evidence lives in these
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    logging.getLogger("py4j").setLevel(logging.WARNING)
     p = argparse.ArgumentParser(prog="polars_genson_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -384,6 +393,26 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--output", required=True)
     g.add_argument("--rows", type=int, default=100_000)
     g.add_argument("--seed", type=int, default=42)
+
+    gd = sub.add_parser(
+        "generate-docs",
+        help="write a planted-structure documents corpus for scale runs "
+        "(hot LSH bucket, near-dup clusters past driver_threshold, "
+        "exact dups, junk) — see sources/scale_docs.py",
+    )
+    gd.add_argument("--output", required=True, help="documents parquet dir")
+    gd.add_argument("--rows", type=int, default=10_000_000)
+    gd.add_argument("--seed", type=int, default=42)
+    gd.add_argument("--embeddings-output", default=None,
+                    help="also write embeddings for a doc-id prefix")
+    gd.add_argument("--embedding-rows", type=int, default=200_000)
+    gd.add_argument("--embedding-dim", type=int, default=64)
+    gd.add_argument("--benchmark-output", default=None,
+                    help="also write an n-gram-decontamination benchmark "
+                    "table copying unique-region docs")
+    gd.add_argument("--benchmark-embeddings-output", default=None,
+                    help="also write benchmark-side vectors hitting the "
+                    "first semantic groups")
 
     s = sub.add_parser("scaling-bench", help="N vs 4N scaling evidence")
     s.add_argument("--rows", type=int, default=2_000_000)
@@ -504,6 +533,45 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.corpus import write_corpus
 
             write_corpus(spark, args.output, args.rows, args.seed)
+            return 0
+        if args.cmd == "generate-docs":
+            from .sources.scale_docs import (
+                default_layout,
+                generate_benchmark,
+                generate_benchmark_embeddings,
+                generate_doc_embeddings,
+                generate_documents,
+            )
+
+            lay = default_layout(args.rows, args.seed)
+            generate_documents(
+                spark, args.rows, args.seed, layout=lay
+            ).write.mode("overwrite").parquet(args.output)
+            if args.embeddings_output:
+                generate_doc_embeddings(
+                    spark,
+                    args.embedding_rows,
+                    dim=args.embedding_dim,
+                    seed=args.seed,
+                ).write.mode("overwrite").parquet(args.embeddings_output)
+            if args.benchmark_output:
+                generate_benchmark(spark, lay, seed=args.seed).write.mode(
+                    "overwrite"
+                ).parquet(args.benchmark_output)
+            if args.benchmark_embeddings_output:
+                generate_benchmark_embeddings(
+                    spark, dim=args.embedding_dim, seed=args.seed
+                ).write.mode("overwrite").parquet(
+                    args.benchmark_embeddings_output
+                )
+            print(json.dumps({
+                "rows": args.rows,
+                "hot_docs": lay.hot_docs,
+                "near_clusters": lay.near_clusters,
+                "near_edges_symmetrized": lay.near_edges_symmetrized,
+                "exact_groups": lay.exact_groups,
+                "junk_docs": lay.junk_docs,
+            }))
             return 0
         if args.cmd == "curate":
             from .pipeline import CurateConfig, curate

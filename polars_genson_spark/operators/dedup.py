@@ -744,6 +744,10 @@ def near_dup_clusters(
     if driver_threshold and edges.limit(driver_threshold + 1).count() <= driver_threshold:
         # Arrow transfer: two flat columns, no per-Row Python objects —
         # ~16 bytes/edge for long ids vs ~200+ bytes/Row via collect()
+        log.info(
+            "near_dup_clusters: driver union-find path "
+            "(symmetrized edge set <= %d)", driver_threshold,
+        )
         pdf = edges.toPandas()
         edges.unpersist()
         rows = list(zip(pdf["src"].tolist(), pdf["dst"].tolist()))
@@ -757,6 +761,10 @@ def near_dup_clusters(
             T.StructField("cluster_id", id_type, False),
         ])
         return pairs.sparkSession.createDataFrame(labels, schema)
+    log.info(
+        "near_dup_clusters: DISTRIBUTED min-label propagation engaged "
+        "(symmetrized edge set > driver_threshold=%d)", driver_threshold,
+    )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
