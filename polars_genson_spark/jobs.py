@@ -507,6 +507,16 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--job", default="validate",
                    choices=["validate", "near_dup"])
 
+    # global knob: reduce-side parallelism must be sized to the DATA, not
+    # the core count — a 10M-row rollup at 32 shuffle partitions puts
+    # multi-million-key hash aggs in every concurrent task; 256+ keeps
+    # per-task state flat and AQE coalesces the small ones back down
+    p.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="spark.sql.shuffle.partitions for this job "
+        "(default: session default, i.e. the core count)",
+    )
+
     args = p.parse_args(argv)
 
     if args.cmd == "scaling-bench":
@@ -527,7 +537,10 @@ def main(argv: list[str] | None = None) -> int:
         print(make_pyfiles_zip(args.output))
         return 0
 
-    spark = get_spark("polars-genson-spark-job")
+    spark = get_spark(
+        "polars-genson-spark-job",
+        shuffle_partitions=args.shuffle_partitions,
+    )
     try:
         if args.cmd == "generate":
             from .sources.corpus import write_corpus
@@ -626,6 +639,8 @@ def main(argv: list[str] | None = None) -> int:
             summary = result.summary()
             if args.no_counts:
                 summary["written"] = spark.read.parquet(args.output).count()
+            if result.stage_seconds:
+                summary["stage_seconds"] = result.stage_seconds
             print(json.dumps(summary))
             return 0
         if args.cmd == "tokenize":

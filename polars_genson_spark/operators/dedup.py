@@ -225,15 +225,24 @@ def minhash_candidates(
     degenerate buckets (see :func:`_cap_hot_buckets`). Recall within an
     over-full bucket is sacrificed; pairs stay reachable via their other
     ``bands - 1`` bands.
+
+    Scale shape: the banded entry table is |corpus| × bands rows, so it
+    must stay SLIM — (id, band, bhash) only, ~28 bytes/row. The 256-byte
+    signatures live once per doc in a separate (id, minhash) frame and
+    are joined back only for the candidate pairs (pair-count-
+    proportional work). Carrying ``minhash`` through the banded table
+    multiplied its footprint by ``bands`` and OOM'd a 10M-doc run that
+    the slim layout completes comfortably.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
         df, id_col, text_col, shingle_n, num_perm
     )
+    if cache_entries:
+        sigs = sigs.persist()
 
     band_entries = sigs.select(
         "id",
-        "minhash",
         F.explode(
             F.array(
                 *[
@@ -257,7 +266,7 @@ def minhash_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "minhash", "bb.band", "bb.bhash")
+    ).select("id", "bb.band", "bb.bhash")
     if cache_entries:
         band_entries = band_entries.persist()
     if bucket_max is not None:
@@ -277,12 +286,18 @@ def minhash_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.minhash").alias("mh_a"),
-            F.col("b.minhash").alias("mh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # signatures join back onto the (small) candidate set — two hash
+    # joins proportional to the pair count, never to |corpus| × bands
+    sig_a = sigs.select(
+        F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")
+    )
+    sig_b = sigs.select(
+        F.col("id").alias("id_b"), F.col("minhash").alias("mh_b")
+    )
     est = (
         F.size(
             F.filter(
@@ -293,7 +308,9 @@ def minhash_candidates(
         / F.lit(float(num_perm))
     )
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= min_jaccard)
         .select("id_a", "id_b", "est_jaccard")
     )

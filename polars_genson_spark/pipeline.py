@@ -15,6 +15,7 @@ the counts are the curation report, not a side effect of extra scans.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -87,6 +88,11 @@ class CurateConfig:
 class CurateResult:
     chunks: DataFrame
     stage_counts: dict[str, int] = field(default_factory=dict)
+    # wall seconds from the previous stage boundary to the end of this
+    # stage's eager materialization (counts mode only): each boundary is
+    # a localCheckpoint + count, so the delta IS the stage's cost,
+    # including any driver-side probes its operator runs
+    stage_seconds: dict[str, float] = field(default_factory=dict)
 
     def summary(self) -> dict[str, Any]:
         return dict(self.stage_counts)
@@ -123,6 +129,8 @@ def curate(
     plan tree stays truncated and no stage lineage executes twice."""
     cfg = cfg or CurateConfig()
     stage_counts: dict[str, int] = {}
+    stage_seconds: dict[str, float] = {}
+    last_boundary = time.monotonic()
 
     def stage(df: DataFrame, name: str) -> DataFrame:
         # localCheckpoint at every stage boundary: materialises the
@@ -132,9 +140,13 @@ def curate(
         # enough to OOM the driver just STRINGIFYING it. At cluster scale
         # swap for reliable checkpoints (spark.sparkContext.setCheckpointDir)
         # if executor loss matters; the shape is identical.
+        nonlocal last_boundary
         df = df.localCheckpoint(eager=counts)
         if counts:
             stage_counts[name] = df.count()
+            now = time.monotonic()
+            stage_seconds[name] = round(now - last_boundary, 3)
+            last_boundary = now
         return df
 
     cur = stage(docs, "input")
@@ -332,4 +344,8 @@ def curate(
             "packed",
         )
 
-    return CurateResult(chunks=chunks, stage_counts=stage_counts)
+    return CurateResult(
+        chunks=chunks,
+        stage_counts=stage_counts,
+        stage_seconds=stage_seconds,
+    )
