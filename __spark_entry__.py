@@ -839,6 +839,35 @@ def q_hll_uniqueness(spark, sf_dir):
     return uniqueness_summary(corpus_view(spark, sf_dir))
 
 
+def q_hll_uniqueness_verified(spark, sf_dir):
+    """HLL uniqueness promoted to a value-oracled check (same trick as
+    minhash_verified_pairs): per-source exact distinct counts alongside a
+    boolean pinning that the HLL++ estimate (approx_count_distinct,
+    rsd=0.02) lands within 3×rsd of the exact truth. The sketch registers
+    stay engine-specific (hll_uniqueness remains rows-only), but the
+    estimator's QUALITY bound is now inside the driver hash: an engine
+    change degrading the estimate past 6% relative error flips hll_ok
+    and hash-mismatches. Both legs are one map-combined groupBy over the
+    corpus — countDistinct adds the exact shuffle the production path
+    avoids, which is affordable here because this is the oracle query,
+    not the 100-TB path (that one ships only the HLL sketch)."""
+    corpus = corpus_view(spark, sf_dir)
+    agg = corpus.groupBy("source").agg(
+        F.count("doc_id").alias("n_rows"),
+        F.countDistinct("doc_id").alias("exact_distinct"),
+        F.approx_count_distinct("doc_id", 0.02).alias("_approx"),
+    )
+    return agg.select(
+        "source",
+        "n_rows",
+        "exact_distinct",
+        (
+            F.abs(F.col("_approx") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * F.lit(0.06)
+        ).alias("hll_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational breadth pack (round 2): adapted TPC-H patterns over the
 # narrower synthetic star schema, each exercising a distinct physical
@@ -1599,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         # ---- driver's 50-query window ends here (dict order is stable) --
         # oracled but pattern-redundant with the first 50
+        "hll_uniqueness_verified": q_hll_uniqueness_verified,
         "psi_daily_events": q_psi_daily_events,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "q4_priority_late": q4_priority_late,
@@ -1748,6 +1778,17 @@ def oracle_sql() -> dict[str, str]:
                    0 AS n_added, 0 AS n_removed, 0 AS n_changed
             FROM (SELECT DISTINCT date_trunc('day', ts) AS d FROM events)
             WHERE d > (SELECT min(date_trunc('day', ts)) FROM events)
+        """,
+        # hll_uniqueness_verified: exact legs recomputed by DuckDB; hll_ok
+        # is TRUE by construction when the HLL++ estimate is within 3×rsd
+        # of truth — the oracle hash therefore pins the estimator bound
+        "hll_uniqueness_verified": """
+            SELECT source,
+                   count(doc_id) AS n_rows,
+                   count(DISTINCT doc_id) AS exact_distinct,
+                   TRUE AS hll_ok
+            FROM documents
+            GROUP BY source
         """,
         "psi_daily_events": """
             WITH b AS (
