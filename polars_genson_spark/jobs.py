@@ -466,7 +466,9 @@ def main(argv: list[str] | None = None) -> int:
                         "propagation or alternating-star (O(log n))")
     c.add_argument("--semantic-threshold", type=float, default=0.9)
     c.add_argument("--embedding-dim", type=int, default=64)
-    c.add_argument("--semantic-clusters", type=int, default=8)
+    c.add_argument("--semantic-clusters", type=int, default=None,
+                   help="SemDeDup cluster count; default auto-sizes "
+                        "from the vector count (~2k vectors/cluster)")
 
     sv = sub.add_parser(
         "stream-validate",

@@ -10,10 +10,13 @@
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def _lit_vec(vals):
@@ -465,10 +468,18 @@ def ivf_topk(
     )
 
 
+def _auto_clusters(n: int, per_cluster: int = 2048) -> int:
+    """Cluster count targeting ``per_cluster`` vectors each, clamped to
+    [8, 256]. ~2k vectors per cluster keeps the cluster-local self-join
+    at ~4M cosine pairs per cluster; see semantic_dedup's docstring for
+    the 256-literal ceiling and the >256 swap-in path."""
+    return max(8, min(256, -(-n // per_cluster)))
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -490,9 +501,19 @@ def semantic_dedup(
 
     Scale shape: one scan to normalise + assign (all codegen, centroids
     are broadcast literals), one shuffle on cluster id for the self-join,
-    one anti-join on the discard set. n_clusters grows with corpus size
-    so cluster populations — and the join's quadratic term — stay
-    bounded, exactly like the IVF buckets.
+    one anti-join on the discard set. The self-join's cost is
+    Σ|cluster|² ≈ N²/k, so ``n_clusters`` MUST grow with the corpus —
+    ``n_clusters=None`` (the default) auto-sizes it to
+    ``clamp(ceil(n / 2048), 8, 256)`` from a row count piggybacked on
+    the dim probe, targeting ~2k vectors per cluster. A fixed small k at
+    scale is quadratic death: 200k vectors in 8 clusters is ~312M cosine
+    pairs PER CLUSTER (observed as a >30-min 8-task stage in the 10M-row
+    scale run); the same vectors at the auto k=98 are ~2M pairs per
+    cluster. The 256 cap is the literal-expression ceiling — assignment
+    builds k dot-product expressions per row, and past a few hundred the
+    codegen'd plan itself becomes the bottleneck; beyond that, swap the
+    broadcast-literal assignment for an IVF-style centroid-table join
+    (same downstream plan), which is the documented >256 path.
 
     Returns survivors: (id, cluster, centroid_sim) with cosine rounded
     to 6 dp for representation-stable comparison. With
@@ -510,6 +531,7 @@ def semantic_dedup(
     probe = df.agg(
         F.min(F.size(F.col(vec_col))).alias("lo"),
         F.max(F.size(F.col(vec_col))).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
     if probe["lo"] is not None and not (probe["lo"] == probe["hi"] == dim):
         raise ValueError(
@@ -517,6 +539,13 @@ def semantic_dedup(
             f"[{probe['lo']}, {probe['hi']}]"
         )
     if centroids is None:
+        if n_clusters is None:
+            n_clusters = _auto_clusters(int(probe["n"] or 1))
+            _LOG.info(
+                "semantic_dedup: auto n_clusters=%d for %d vectors",
+                n_clusters,
+                probe["n"],
+            )
         centroids = _hyperplanes(dim, n_clusters, seed)
     # normalise centroids so centroid_sim is a true cosine
     normed_cents = []

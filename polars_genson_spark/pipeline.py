@@ -67,7 +67,10 @@ class CurateConfig:
     decontaminate_min_shared: int = 3
     # semantic dedup (embeddings DataFrame supplied at run time)
     semantic_threshold: float = 0.9
-    semantic_clusters: int = 8
+    # None = auto-size from the vector count (~2k vectors/cluster,
+    # clamped to [8, 256]); the self-join is Σ|cluster|² ≈ N²/k, so a
+    # fixed k is quadratic at scale — see semantic_dedup's docstring.
+    semantic_clusters: int | None = None
     # semantic decontamination threshold (None = reuse
     # semantic_threshold); independent knob so tightening decon does not
     # also change which in-corpus duplicates the dedup stage drops

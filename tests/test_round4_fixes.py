@@ -308,3 +308,31 @@ def test_cap_hot_buckets_releases_cache(spark):
         r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
     }
     assert after <= before  # no newly-pinned storage survives the call
+
+
+def test_semantic_dedup_auto_cluster_sizing(spark):
+    """n_clusters=None auto-sizes from the vector count: fixed small k
+    is Σ|cluster|² ≈ N²/k quadratic death at scale (observed as a
+    >30-min 8-task stage at 200k vectors in the 10M-row scale run)."""
+    from polars_genson_spark.operators.similarity import (
+        _auto_clusters,
+        semantic_dedup,
+    )
+
+    # formula: ~2k vectors per cluster, clamped to [8, 256]
+    assert _auto_clusters(1) == 8
+    assert _auto_clusters(16_384) == 8
+    assert _auto_clusters(16_385) == 9
+    assert _auto_clusters(200_000) == 98
+    assert _auto_clusters(10_000_000) == 256  # literal-expression cap
+    # end-to-end default path still runs (small df → floor of 8)
+    from pyspark.sql import functions as F
+
+    df = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 5).cast("float"), F.lit(1.0).cast("float")
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(df, dim=2, cache_entries=False)
+    assert 0 < out.count() <= 20
