@@ -1625,10 +1625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "sessions_30m": q_sessions_30m,
         "quantiles_nchars": q_quantiles_nchars,
-        "events_json": q_events_json,
+        "hll_uniqueness_verified": q_hll_uniqueness_verified,
         # ---- driver's 50-query window ends here (dict order is stable) --
         # oracled but pattern-redundant with the first 50
-        "hll_uniqueness_verified": q_hll_uniqueness_verified,
+        "events_json": q_events_json,
         "psi_daily_events": q_psi_daily_events,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "q4_priority_late": q4_priority_late,

@@ -192,7 +192,7 @@ def make_pyfiles_zip(output_path: str) -> str:
 
 def bench_one(
     n_rows: int, cores: int, seed: int = 42, reps: int = 3,
-    job: str = "validate",
+    job: str = "validate", input_path: str | None = None,
 ) -> dict[str, Any]:
     """Measure rows/sec of a full job at local[cores]. One warmup run
     (JIT, Python workers, broadcasts) then ``reps`` timed runs; best time
@@ -213,10 +213,17 @@ def bench_one(
         shuffle_partitions=max(cores, 8),
     )
     cfg = ValidationConfig()
-    corpus = generate_corpus(
-        spark, n_rows, seed=seed, partitions=max(cores * 2, 8)
-    ).persist()
-    corpus.count()  # materialise outside the timed window
+    if input_path is not None:
+        # measure on a REAL pre-tokenized table (e.g. the 10M-row
+        # scale-run output) instead of the synthetic corpus; identical
+        # input at both parallelism levels, parquet's own partitioning
+        corpus = spark.read.parquet(input_path).persist()
+        n_rows = corpus.count()  # materialise outside the timed window
+    else:
+        corpus = generate_corpus(
+            spark, n_rows, seed=seed, partitions=max(cores * 2, 8)
+        ).persist()
+        corpus.count()  # materialise outside the timed window
     allowed = allowed_sources_df(spark)
     if job == "near_dup":
         from .operators.dedup import (
@@ -267,6 +274,7 @@ def bench_one(
     return {
         "cores": cores,
         "job": job,
+        "n_rows": n_rows,
         "rows_per_sec": round(n_rows / best, 1),
         "seconds": round(best, 3),
         "all_seconds": [round(t, 3) for t in times],
@@ -274,7 +282,8 @@ def bench_one(
 
 
 def _bench_one_pinned(
-    n_rows: int, cores: int, seed: int, reps: int, job: str = "validate"
+    n_rows: int, cores: int, seed: int, reps: int, job: str = "validate",
+    input_path: str | None = None,
 ) -> dict[str, Any]:
     """Run bench_one in a subprocess bound to exactly ``cores`` CPUs."""
     import subprocess
@@ -291,6 +300,8 @@ def _bench_one_pinned(
         "--reps", str(reps),
         "--job", job,
     ]
+    if input_path is not None:
+        cmd += ["--input", input_path]
     proc = subprocess.run(
         cmd, capture_output=True, text=True, env=env, check=True
     )
@@ -305,6 +316,7 @@ def scaling_bench(
     pin: bool = True,
     rounds: int = 3,
     job: str = "validate",
+    input_path: str | None = None,
 ) -> dict[str, Any]:
     """Run the identical validation job at local[n_small] and
     local[n_large]; report both throughputs and the scaling efficiency
@@ -332,9 +344,13 @@ def scaling_bench(
         pair = {}
         for n in (n_small, n_large):
             if use_pin:
-                pair[n] = _bench_one_pinned(n_rows, n, seed, reps=1, job=job)
+                pair[n] = _bench_one_pinned(
+                    n_rows, n, seed, reps=1, job=job, input_path=input_path
+                )
             else:
-                pair[n] = bench_one(n_rows, n, seed, reps=1, job=job)
+                pair[n] = bench_one(
+                    n_rows, n, seed, reps=1, job=job, input_path=input_path
+                )
         eff = (
             pair[n_large]["rows_per_sec"] / pair[n_small]["rows_per_sec"]
         ) / ratio
@@ -348,8 +364,11 @@ def scaling_bench(
     med_eff = statistics.median(r["efficiency"] for r in per_round)
     best_small = max(r["small"]["rows_per_sec"] for r in per_round)
     best_large = max(r["large"]["rows_per_sec"] for r in per_round)
+    if input_path is not None:
+        n_rows = per_round[0]["small"].get("n_rows", n_rows)
     return {
         "n_rows": n_rows,
+        "input": input_path,
         "pinned": use_pin,
         "rounds": per_round,
         "small": {"cores": n_small, "best_rows_per_sec": best_small},
@@ -422,6 +441,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--job", default="validate",
                    choices=["validate", "near_dup"],
                    help="which pipeline to scale-measure")
+    s.add_argument("--input", default=None,
+                   help="measure on this pre-tokenized parquet table "
+                        "instead of the synthetic corpus (--rows ignored)")
 
     z = sub.add_parser("package", help="build the --py-files zip")
     z.add_argument("--output", default="polars_genson_spark.zip")
@@ -508,6 +530,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--reps", type=int, default=3)
     b.add_argument("--job", default="validate",
                    choices=["validate", "near_dup"])
+    b.add_argument("--input", default=None,
+                   help="parquet table to validate instead of the "
+                        "synthetic corpus")
 
     # global knob: reduce-side parallelism must be sized to the DATA, not
     # the core count — a 10M-row rollup at 32 shuffle partitions puts
@@ -524,14 +549,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "scaling-bench":
         out = scaling_bench(
             args.rows, args.small, args.large, pin=not args.no_pin,
-            job=args.job,
+            job=args.job, input_path=args.input,
         )
         print(json.dumps(out))
         return 0
     if args.cmd == "bench-one":
         print(
             json.dumps(bench_one(
-                args.rows, args.cores, args.seed, args.reps, job=args.job
+                args.rows, args.cores, args.seed, args.reps, job=args.job,
+                input_path=args.input,
             ))
         )
         return 0
