@@ -13,6 +13,8 @@ from __future__ import annotations
 import logging
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -468,12 +470,65 @@ def ivf_topk(
     )
 
 
+# Above this many centroids, per-centroid literal expressions stop being
+# the right assignment plan (k dot-product exprs per row bloat codegen);
+# assignment switches to one BLAS matmul per Arrow batch instead.
+_LITERAL_ASSIGN_MAX = 256
+
+
 def _auto_clusters(n: int, per_cluster: int = 2048) -> int:
     """Cluster count targeting ``per_cluster`` vectors each, clamped to
-    [8, 256]. ~2k vectors per cluster keeps the cluster-local self-join
-    at ~4M cosine pairs per cluster; see semantic_dedup's docstring for
-    the 256-literal ceiling and the >256 swap-in path."""
-    return max(8, min(256, -(-n // per_cluster)))
+    [8, 4096]. ~2k vectors per cluster keeps the cluster-local self-join
+    at ~4M cosine pairs per cluster. Above ``_LITERAL_ASSIGN_MAX`` the
+    vectorized assignment path engages automatically; 4096 bounds the
+    broadcast centroid matrix (4096 × dim doubles ≈ 2 MB at dim 64)."""
+    return max(8, min(4096, -(-n // per_cluster)))
+
+
+def _assign_clusters_vectorized(normed_cents: list[list[float]]):
+    """(cluster, csim) assignment as ONE numpy/BLAS matmul per Arrow
+    batch — the >``_LITERAL_ASSIGN_MAX``-centroid path where building k
+    literal dot-product expressions per row would bloat the codegen'd
+    plan beyond what the JVM JITs well. The centroid matrix rides the
+    UDF closure broadcast (k × dim doubles — MBs at worst).
+
+    Tie-break parity with the literal path: ``_centroid_ranks`` reverses
+    an ascending (score, idx) sort, so equal top scores pick the LARGEST
+    centroid index; the reversed-argmax below reproduces that exactly.
+    Null vectors yield null (cluster, csim), matching the literal path
+    (they can never match the self-join and always survive)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(normed_cents, dtype=np.float64)  # (k, dim)
+    k = cmat.shape[0]
+
+    @pandas_udf("struct<cluster: int, csim: double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        cluster = np.full(n, -1, dtype=np.int64)
+        csim = np.full(n, np.nan, dtype=np.float64)
+        mask = vecs.notna().to_numpy()
+        if mask.any():
+            x = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+            )  # (m, dim)
+            scores = x @ cmat.T  # (m, k): the whole batch in one matmul
+            best = k - 1 - np.argmax(scores[:, ::-1], axis=1)
+            cluster[mask] = best
+            csim[mask] = scores[np.arange(scores.shape[0]), best]
+        return pd.DataFrame(
+            {
+                "cluster": pd.array(
+                    [int(c) if m else None for c, m in zip(cluster, mask)],
+                    dtype="Int32",
+                ),
+                "csim": [
+                    float(s) if m else None for s, m in zip(csim, mask)
+                ],
+            }
+        )
+
+    return assign
 
 
 def semantic_dedup(
@@ -504,16 +559,17 @@ def semantic_dedup(
     one anti-join on the discard set. The self-join's cost is
     Σ|cluster|² ≈ N²/k, so ``n_clusters`` MUST grow with the corpus —
     ``n_clusters=None`` (the default) auto-sizes it to
-    ``clamp(ceil(n / 2048), 8, 256)`` from a row count piggybacked on
+    ``clamp(ceil(n / 2048), 8, 4096)`` from a row count piggybacked on
     the dim probe, targeting ~2k vectors per cluster. A fixed small k at
     scale is quadratic death: 200k vectors in 8 clusters is ~312M cosine
     pairs PER CLUSTER (observed as a >30-min 8-task stage in the 10M-row
     scale run); the same vectors at the auto k=98 are ~2M pairs per
-    cluster. The 256 cap is the literal-expression ceiling — assignment
-    builds k dot-product expressions per row, and past a few hundred the
-    codegen'd plan itself becomes the bottleneck; beyond that, swap the
-    broadcast-literal assignment for an IVF-style centroid-table join
-    (same downstream plan), which is the documented >256 path.
+    cluster. Assignment picks its plan by k: up to
+    ``_LITERAL_ASSIGN_MAX`` (256) centroids it builds k broadcast-literal
+    dot products per row (whole-stage codegen, zero Python); past that —
+    where k expressions per row bloat the codegen'd plan — it switches to
+    ``_assign_clusters_vectorized``, one numpy/BLAS matmul per Arrow
+    batch with exact tie-break parity (pinned by test).
 
     Returns survivors: (id, cluster, centroid_sim) with cosine rounded
     to 6 dp for representation-stable comparison. With
@@ -556,20 +612,37 @@ def semantic_dedup(
     normed = with_normalized(df, vec_col).select(
         F.col(id_col).alias("id"), "vec_norm"
     )
-    ranks = _centroid_ranks(F.col("vec_norm"), normed_cents)
-    best = F.element_at(ranks, 1)
-    sims = F.array(
-        *[
-            _dot(F.col("vec_norm"), _lit_vec(c))
-            for c in normed_cents
-        ]
-    )
-    tagged = normed.select(
-        "id",
-        "vec_norm",
-        best.alias("cluster"),
-        F.element_at(sims, best + F.lit(1)).alias("csim"),
-    )
+    if len(normed_cents) > _LITERAL_ASSIGN_MAX:
+        assign = _assign_clusters_vectorized(normed_cents)
+        tagged = normed.select(
+            "id",
+            "vec_norm",
+            assign(F.col("vec_norm")).alias("_a"),
+        ).select(
+            "id",
+            "vec_norm",
+            F.col("_a.cluster").alias("cluster"),
+            F.col("_a.csim").alias("csim"),
+        )
+    else:
+        ranks = _centroid_ranks(F.col("vec_norm"), normed_cents)
+        # null vector -> null cluster (ranks over null scores would pick
+        # an arbitrary index; keep parity with the vectorized path)
+        best = F.when(
+            F.col("vec_norm").isNotNull(), F.element_at(ranks, 1)
+        )
+        sims = F.array(
+            *[
+                _dot(F.col("vec_norm"), _lit_vec(c))
+                for c in normed_cents
+            ]
+        )
+        tagged = normed.select(
+            "id",
+            "vec_norm",
+            best.alias("cluster"),
+            F.element_at(sims, best + F.lit(1)).alias("csim"),
+        )
     if cache_entries:
         tagged = tagged.persist()
 

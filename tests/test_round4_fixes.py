@@ -319,12 +319,13 @@ def test_semantic_dedup_auto_cluster_sizing(spark):
         semantic_dedup,
     )
 
-    # formula: ~2k vectors per cluster, clamped to [8, 256]
+    # formula: ~2k vectors per cluster, clamped to [8, 4096]
     assert _auto_clusters(1) == 8
     assert _auto_clusters(16_384) == 8
     assert _auto_clusters(16_385) == 9
     assert _auto_clusters(200_000) == 98
-    assert _auto_clusters(10_000_000) == 256  # literal-expression cap
+    assert _auto_clusters(1_000_000) == 489  # > _LITERAL_ASSIGN_MAX: vectorized assignment
+    assert _auto_clusters(10_000_000) == 4096  # broadcast-matrix cap
     # end-to-end default path still runs (small df → floor of 8)
     from pyspark.sql import functions as F
 
@@ -336,3 +337,60 @@ def test_semantic_dedup_auto_cluster_sizing(spark):
     )
     out = semantic_dedup(df, dim=2, cache_entries=False)
     assert 0 < out.count() <= 20
+
+
+def test_semantic_dedup_vectorized_assignment_parity(spark, monkeypatch):
+    """Above _LITERAL_ASSIGN_MAX centroids, assignment runs as one BLAS
+    matmul per Arrow batch. It must agree with the literal-expression
+    path exactly — cluster id (incl. the largest-index tie-break), csim
+    to 6 dp, null-vector passthrough, and the final survivor set."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from polars_genson_spark.operators import similarity as sim
+
+    # deterministic vectors incl. an exact tie (v aligned between c0/c2)
+    # and a null; centroids NOT normalised (the op normalises them)
+    cents = [[1.0, 0.0], [0.0, 2.0], [1.0, 0.0], [-1.0, -1.0]]
+    rows = [
+        (1, [1.0, 0.0]),     # ties c0/c2 at cos=1 -> must pick idx 2
+        (2, [0.0, 5.0]),
+        (3, [3.0, 3.0]),
+        (4, [-1.0, -0.9]),
+        (5, [0.99, 0.12]),   # near-dup of 1's direction
+        (6, None),           # null vector: survives with null sim
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+    def run(force_vectorized):
+        if force_vectorized:
+            monkeypatch.setattr(sim, "_LITERAL_ASSIGN_MAX", 2)
+        else:
+            monkeypatch.setattr(sim, "_LITERAL_ASSIGN_MAX", 256)
+        out = sim.semantic_dedup(
+            df, dim=2, centroids=cents, threshold=0.95,
+            cache_entries=False,
+        )
+        return sorted(
+            (
+                r["id"],
+                r["cluster"],
+                None
+                if r["centroid_sim"] is None
+                else round(r["centroid_sim"], 6),
+            )
+            for r in out.collect()
+        )
+
+    lit = run(False)
+    vec = run(True)
+    assert lit == vec
+    got = {i: (c, s) for i, c, s in lit}
+    # 1 and 5 are 0.993-cosine near-dups in the tied cluster: 5 has the
+    # LOWER centroid sim (least typical) so it survives and 1 is dropped
+    assert 1 not in got
+    assert got[5][0] == 2  # largest-index tie-break, both paths
+    assert got[6] == (None, None)  # null vector survives, null sim
