@@ -68,7 +68,7 @@ class CurateConfig:
     # semantic dedup (embeddings DataFrame supplied at run time)
     semantic_threshold: float = 0.9
     # None = auto-size from the vector count (~2k vectors/cluster,
-    # clamped to [8, 256]); the self-join is Σ|cluster|² ≈ N²/k, so a
+    # clamped to [8, 4096]); the self-join is Σ|cluster|² ≈ N²/k, so a
     # fixed k is quadratic at scale — see semantic_dedup's docstring.
     semantic_clusters: int | None = None
     # semantic decontamination threshold (None = reuse
