@@ -531,6 +531,78 @@ def _assign_clusters_vectorized(normed_cents: list[list[float]]):
     return assign
 
 
+# Column-block width cap for the per-cluster Gram matrix: bound the
+# largest intermediate (m rows x B cols of float64) to ~64 MB per block
+# regardless of cluster size, so one skewed hot cluster cannot OOM its
+# executor. 2**23 doubles = 64 MiB.
+_GRAM_BLOCK_DOUBLES = 2**23
+
+
+def _gram_discards(tagged: DataFrame, threshold: float) -> DataFrame:
+    """Cluster-local discard set via one BLAS Gram matrix per cluster
+    (``applyInPandas`` over ``groupBy(cluster)``) — the vectorized
+    replacement for the pairwise self-join.
+
+    EXACT parity with the join predicate in :func:`semantic_dedup`
+    (pinned by test + the driver's DuckDB value-hash oracle):
+
+    - pair similarity is ``round(dot, 6) > threshold``, reproduced as
+      ``np.round(G, 6) > threshold`` on the same float64 inputs;
+    - "y ranks before x" is the strict tuple order
+      ``(csim_y, id_y) < (csim_x, id_x)`` — rows are sorted by that
+      tuple and a column bound of *first index of x's tie group*
+      excludes exact-duplicate (csim, id) tuples, matching the join's
+      strict comparison (and its ``a.id != b.id`` guard);
+    - discarded rows still count as earlier-ranked neighbours for later
+      rows, exactly like the join against the full ``tagged`` set.
+
+    Scale shape: same single shuffle on ``cluster`` as the self-join,
+    but each cluster's m² pair similarities collapse into blockwise
+    ``X @ X[s:s+B].T`` matmuls (~100x fewer Python/JVM crossings than
+    m² codegen dot products, and BLAS beats codegen per FLOP). Memory is
+    bounded at ~64 MB per block via ``_GRAM_BLOCK_DOUBLES``; one cluster
+    is one task, so ``n_clusters`` (auto ~2k rows each) is also the
+    parallelism knob. Null-cluster rows (null vectors) can never match
+    and are never discarded — the group emits no ids, like the join.
+    """
+    id_field = tagged.schema["id"]
+    out_schema = f"id {id_field.dataType.simpleString()}"
+
+    def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pdf.iloc[0:0][["id"]]
+        if m < 2 or pdf["cluster"].isna().any():
+            return empty
+        order = pdf.sort_values(
+            ["csim", "id"], kind="mergesort"
+        ).reset_index(drop=True)
+        x = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in order["vec_norm"]]
+        )  # (m, dim)
+        csim = order["csim"].to_numpy()
+        ids = order["id"].to_numpy()
+        # first index of each equal-(csim, id) run: only STRICTLY
+        # smaller tuples rank before a row
+        new_run = np.ones(m, dtype=bool)
+        new_run[1:] = (csim[1:] != csim[:-1]) | (ids[1:] != ids[:-1])
+        tie_start = np.maximum.accumulate(
+            np.where(new_run, np.arange(m), 0)
+        )
+        drop = np.zeros(m, dtype=bool)
+        block = max(1, _GRAM_BLOCK_DOUBLES // m)
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            g = x @ x[s:e].T  # (m, e-s)
+            hit = np.round(g, 6) > threshold
+            # row j counts against column i=s+c only when j ranks
+            # strictly before i's tie group
+            mask = np.arange(m)[:, None] < tie_start[s:e][None, :]
+            drop[s:e] = (hit & mask).any(axis=0)
+        return order.loc[drop, ["id"]]
+
+    return tagged.groupBy("cluster").applyInPandas(find, out_schema)
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,
@@ -542,6 +614,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     cache_entries: bool = True,
     return_discards: bool = False,
+    pair_backend: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster by nearest centroid, then inside each
@@ -550,9 +623,16 @@ def semantic_dedup(
     typical rule: lower centroid similarity wins, id breaks ties.
 
     The discard test is rank-based, not greedy-sequential, so it is a
-    single cluster-local self-join (no iteration, no driver loop):
+    single cluster-local pass (no iteration, no driver loop):
     drop x  ⇔  ∃ y in cluster(x): cos(x,y) > τ and
                 (sim_c(y), y.id) < (sim_c(x), x.id)
+    computed by ``pair_backend``: ``"join"`` is a cluster-local codegen
+    self-join (AQE-splittable, best for small populations); ``"gram"``
+    is one blockwise BLAS Gram matrix per cluster inside
+    ``applyInPandas`` (:func:`_gram_discards` — ~10x fewer cycles per
+    pair at scale, memory bounded per block); ``"auto"`` (default)
+    picks gram at >=50k vectors. Both produce identical discard sets
+    (pinned by test and by the driver's DuckDB oracle).
 
     Scale shape: one scan to normalise + assign (all codegen, centroids
     are broadcast literals), one shuffle on cluster id for the self-join,
@@ -646,26 +726,43 @@ def semantic_dedup(
     if cache_entries:
         tagged = tagged.persist()
 
-    a, b = tagged.alias("a"), tagged.alias("b")
-    discard = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") != F.col("b.id"))
-            & (
-                F.round(_dot(F.col("a.vec_norm"), F.col("b.vec_norm")), 6)
-                > threshold
-            )
-            & (
-                (F.col("b.csim") < F.col("a.csim"))
-                | (
-                    (F.col("b.csim") == F.col("a.csim"))
-                    & (F.col("b.id") < F.col("a.id"))
-                )
-            ),
-            "left_semi",
+    if pair_backend not in ("auto", "join", "gram"):
+        raise ValueError(
+            f"pair_backend must be auto|join|gram, got {pair_backend!r}"
         )
-    ).select("id")
+    if pair_backend == "auto":
+        # Small populations: the codegen self-join's per-pair cost is
+        # negligible and AQE can split a skewed cluster across tasks.
+        # At scale the Gram path wins ~10x on the Sigma|cluster|^2 pair
+        # work (one BLAS matmul per column block vs m^2 codegen dot
+        # products) — measured on the 1M-vector corpus in BENCH.md.
+        pair_backend = "gram" if int(probe["n"] or 0) >= 50_000 else "join"
+        _LOG.info("semantic_dedup: auto pair_backend=%s", pair_backend)
+    if pair_backend == "gram":
+        discard = _gram_discards(tagged, threshold)
+    else:
+        a, b = tagged.alias("a"), tagged.alias("b")
+        discard = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col("a.id") != F.col("b.id"))
+                & (
+                    F.round(
+                        _dot(F.col("a.vec_norm"), F.col("b.vec_norm")), 6
+                    )
+                    > threshold
+                )
+                & (
+                    (F.col("b.csim") < F.col("a.csim"))
+                    | (
+                        (F.col("b.csim") == F.col("a.csim"))
+                        & (F.col("b.id") < F.col("a.id"))
+                    )
+                ),
+                "left_semi",
+            )
+        ).select("id")
     if return_discards:
         return discard
     return (

@@ -394,3 +394,79 @@ def test_semantic_dedup_vectorized_assignment_parity(spark, monkeypatch):
     assert 1 not in got
     assert got[5][0] == 2  # largest-index tie-break, both paths
     assert got[6] == (None, None)  # null vector survives, null sim
+
+
+def test_semantic_dedup_gram_join_parity(spark, monkeypatch):
+    """pair_backend='gram' (per-cluster BLAS Gram matrix) must produce
+    the EXACT discard set of pair_backend='join' (cluster-local codegen
+    self-join): same rank rule (csim, id) strict tuple order, same
+    round-6 pair predicate, same null-vector passthrough — including a
+    planted exact csim tie (two distinct ids, identical vector) and a
+    cluster wider than the Gram column block (multi-block path)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from polars_genson_spark.operators import similarity as sim
+
+    rng = random.Random(41)
+    rows = []
+    # 3 planted directions -> 3 clusters; ~60 vectors per direction with
+    # small jitter so many pairs clear the 0.98 threshold and many don't
+    base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.6, 0.6, 0.5]]
+    i = 0
+    for b in base:
+        for _ in range(60):
+            v = [x + rng.uniform(-0.08, 0.08) for x in b]
+            rows.append((i, v))
+            i += 1
+    # exact csim tie: identical vectors, distinct ids -> identical
+    # (csim, id-breaks-tie) rank; join keeps the lower id, gram must too
+    rows.append((1000, [1.0, 0.001, 0.0]))
+    rows.append((1001, [1.0, 0.001, 0.0]))
+    rows.append((1002, None))  # null vector: never discarded
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.7, 0.7, 0.6]]
+
+    def run(backend):
+        out = sim.semantic_dedup(
+            df, dim=3, centroids=cents, threshold=0.98,
+            cache_entries=False, return_discards=True,
+            pair_backend=backend,
+        )
+        return sorted(r["id"] for r in out.collect())
+
+    joined = run("join")
+    # force the multi-block Gram path: 64 doubles per column block
+    monkeypatch.setattr(sim, "_GRAM_BLOCK_DOUBLES", 64)
+    gram = run("gram")
+    assert joined == gram
+    assert joined  # the planted near-dupes actually fired
+    # identical vectors, identical csim: id breaks the tie, so 1001 is
+    # discarded by 1000 (1000 itself may be dropped by other lower-csim
+    # neighbours in the dense planted cluster — not asserted)
+    assert 1001 in joined
+    assert 1002 not in joined  # null vector survives
+
+    # survivors variant agrees too (anti-join side)
+    surv_j = sorted(
+        r["id"]
+        for r in sim.semantic_dedup(
+            df, dim=3, centroids=cents, threshold=0.98,
+            cache_entries=False, pair_backend="join",
+        ).collect()
+    )
+    surv_g = sorted(
+        r["id"]
+        for r in sim.semantic_dedup(
+            df, dim=3, centroids=cents, threshold=0.98,
+            cache_entries=False, pair_backend="gram",
+        ).collect()
+    )
+    assert surv_j == surv_g
+
+    with __import__("pytest").raises(ValueError, match="pair_backend"):
+        sim.semantic_dedup(
+            df, dim=3, centroids=cents, pair_backend="blas",
+            cache_entries=False,
+        )
