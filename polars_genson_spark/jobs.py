@@ -678,10 +678,15 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             docs = spark.read.parquet(args.input)
-            merges, vocab = train_bpe_with_vocab(
-                docs, n_merges=args.n_merges, max_words=args.max_words
+            merges, vocab, words = train_bpe_with_vocab(
+                docs,
+                n_merges=args.n_merges,
+                max_words=args.max_words,
+                return_words=True,
             )
-            toks = bpe_tokenize_ids(docs, merges, vocab)
+            # seed the apply cache with the training rollup's words:
+            # segmented once on the driver, broadcast once per executor
+            toks = bpe_tokenize_ids(docs, merges, vocab, seed_words=words)
             if "source" in docs.columns:
                 toks = toks.join(
                     docs.select("doc_id", "source"), "doc_id"

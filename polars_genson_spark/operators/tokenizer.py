@@ -136,6 +136,14 @@ def _segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def _seed_broadcast(df: DataFrame, seed: dict | None):
+    """Broadcast the driver-precomputed word→segmentation dict (one copy
+    per executor, not per task — the dict is ~MBs at 50k words)."""
+    if not seed:
+        return None
+    return df.sparkSession.sparkContext.broadcast(seed)
+
+
 def bpe_tokenize(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -143,16 +151,26 @@ def bpe_tokenize(
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
     cache_max: int = 500_000,
+    seed_words: list[str] | None = None,
 ) -> DataFrame:
     """(id, bpe_tokens array<string>, n_bpe) — merge table broadcast via
     closure, per-unique-word segmentation cache per partition, cleared
     when it reaches ``cache_max`` entries (a near-unique-word partition
     — URLs, hashes, code — would otherwise grow it unboundedly for the
-    partition's lifetime)."""
+    partition's lifetime).
+
+    ``seed_words`` (typically the training rollup's top words): their
+    segmentations are computed ONCE on the driver and broadcast, so
+    every partition starts with the Zipf head pre-segmented instead of
+    re-deriving it per partition per executor — train once, broadcast
+    everywhere. The seed is immune to the overflow ``cache.clear()``."""
     import pandas as pd
     from pyspark.sql import types as T
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    seed_bc = _seed_broadcast(
+        df, {w: _segment(w, ranks) for w in seed_words or ()}
+    )
     # the id field keeps the INPUT's dtype — a string-id corpus (the
     # shape the validate token table itself uses) would fail Arrow
     # conversion against a hardcoded long
@@ -163,13 +181,16 @@ def bpe_tokenize(
     ])
 
     def run(batches):
+        seed: dict[str, list[str]] = seed_bc.value if seed_bc else {}
         cache: dict[str, list[str]] = {}
         for pdf in batches:
             ids, toks, ns = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 doc_tokens: list[str] = []
                 for w in _py_words(text):
-                    seg = cache.get(w)
+                    seg = seed.get(w)
+                    if seg is None:
+                        seg = cache.get(w)
                     if seg is None:
                         if len(cache) >= cache_max:
                             cache.clear()
@@ -197,12 +218,18 @@ def train_bpe_with_vocab(
     n_merges: int = 200,
     text_col: str = "text",
     max_words: int = 50_000,
-) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    return_words: bool = False,
+):
     """Train merges AND build the token→id vocabulary: id 0 = <unk>,
     id 1 = the end-of-word marker, then the corpus's base characters
     (sorted), then merge products in rank order. Deterministic, so the
     same corpus always yields the same ids — the property the validation
-    engine's token-range check relies on."""
+    engine's token-range check relies on.
+
+    ``return_words=True`` additionally returns the training rollup's
+    words (count-desc order) — pass them as ``seed_words`` to the apply
+    functions so the Zipf head is segmented once on the driver instead
+    of once per partition per executor."""
     rows = _collect_word_rows(df, text_col, max_words)  # ONE corpus pass
     merges = _train_from_rows(rows, n_merges)
     chars = sorted({c for r in rows for c in r["word"]})
@@ -212,6 +239,8 @@ def train_bpe_with_vocab(
     for a, b in merges:
         vocab.setdefault(a + b, len(vocab))
     # merged-with-END products (e.g. "est</w>") get ids too
+    if return_words:
+        return merges, vocab, [r["word"] for r in rows]
     return merges, vocab
 
 
@@ -222,14 +251,23 @@ def bpe_tokenize_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_max: int = 500_000,
+    seed_words: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, tokens array<int>, n_tok) — the pre-tokenized-corpus
     shape the validation engine consumes. Unknown tokens map to id 0.
-    Word split + cache policy identical to :func:`bpe_tokenize`."""
+    Word split + cache + ``seed_words`` policy identical to
+    :func:`bpe_tokenize`."""
     import pandas as pd
     from pyspark.sql import types as T
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    seed_bc = _seed_broadcast(
+        df,
+        {
+            w: [vocab.get(s, 0) for s in _segment(w, ranks)]
+            for w in seed_words or ()
+        },
+    )
     out_schema = T.StructType([
         T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("tokens", T.ArrayType(T.IntegerType())),
@@ -237,13 +275,16 @@ def bpe_tokenize_ids(
     ])
 
     def run(batches):
+        seed: dict[str, list[int]] = seed_bc.value if seed_bc else {}
         cache: dict[str, list[int]] = {}
         for pdf in batches:
             ids, toks, ns = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 doc: list[int] = []
                 for w in _py_words(text):
-                    seg = cache.get(w)
+                    seg = seed.get(w)
+                    if seg is None:
+                        seg = cache.get(w)
                     if seg is None:
                         if len(cache) >= cache_max:
                             cache.clear()

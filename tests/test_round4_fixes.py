@@ -470,3 +470,52 @@ def test_semantic_dedup_gram_join_parity(spark, monkeypatch):
             df, dim=3, centroids=cents, pair_backend="blas",
             cache_entries=False,
         )
+
+
+def test_bpe_seed_cache_parity(spark):
+    """seed_words (driver-segmented, broadcast) must not change ANY
+    output vs the unseeded per-partition cache path — including OOV
+    words absent from the seed and a cache_max small enough to force
+    overflow clears between seeded lookups."""
+    from polars_genson_spark.operators.tokenizer import (
+        bpe_tokenize,
+        bpe_tokenize_ids,
+        train_bpe_with_vocab,
+    )
+
+    texts = [
+        "low lower lowest newest widest",
+        "the newest low widest zzz-oov qqzukx",  # OOV tail words
+        "low low lower newest the the the",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab, words = train_bpe_with_vocab(
+        df, n_merges=30, return_words=True
+    )
+    assert words and "low" in words  # rollup words came back
+
+    base = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in bpe_tokenize_ids(df, merges, vocab).collect()
+    }
+    seeded = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in bpe_tokenize_ids(
+            df, merges, vocab, seed_words=words, cache_max=2
+        ).collect()
+    }
+    assert base == seeded
+
+    b2 = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize(df, merges).collect()
+    }
+    s2 = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize(
+            df, merges, seed_words=words, cache_max=2
+        ).collect()
+    }
+    assert b2 == s2
