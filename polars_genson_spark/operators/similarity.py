@@ -632,7 +632,12 @@ def semantic_dedup(
     ``applyInPandas`` (:func:`_gram_discards` — ~10x fewer cycles per
     pair at scale, memory bounded per block); ``"auto"`` (default)
     picks gram at >=50k vectors. Both produce identical discard sets
-    (pinned by test and by the driver's DuckDB oracle).
+    (pinned by test and by the driver's DuckDB oracle). Skew trade-off:
+    the gram path pins one cluster to one task (memory stays bounded,
+    but a hot centroid elongates that task — its m² work is still ~10x
+    cheaper than the join's), while the join path lets AQE split a hot
+    cluster across tasks; with heavily skewed assignments prefer more
+    clusters (the real SemDeDup remedy) or ``pair_backend="join"``.
 
     Scale shape: one scan to normalise + assign (all codegen, centroids
     are broadcast literals), one shuffle on cluster id for the self-join,
