@@ -681,6 +681,53 @@ def q_fingerprint_docs(spark, sf_dir):
     return with_fingerprint(d).select("doc_id", "fingerprint", "min_shingle_fp")
 
 
+def q_fingerprint_verified(spark, sf_dir):
+    """Document fingerprinting promoted to a value-oracled check (same
+    trick as hll_uniqueness_verified / minhash_verified_pairs): the
+    xxhash64 values stay engine-specific (fingerprint_docs remains
+    rows-only), but the fingerprint's DEFINING properties are pinned in
+    the driver hash against an oracle that recomputes the normalised-text
+    grouping from first principles:
+
+      - injectivity on this corpus: #distinct fingerprints equals
+        #distinct normalised texts (fp_collisions = 0),
+      - exact-dup robustness: a normalised-text group never spans two
+        fingerprints (multi_fp_texts = 0), and likewise for the
+        winnowing min-shingle fingerprint (multi_minfp_texts = 0).
+
+    Duplicates are PLANTED (full copies of the first 100 docs plus
+    whitespace-padded copies of the first 50) so the invariants are
+    exercised on real collision groups, not vacuously true.
+    """
+    from polars_genson_spark.operators.text import with_fingerprint
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = base.where(F.col("doc_id") < 100).select("text")
+    pads = base.where(F.col("doc_id") < 50).select(
+        F.concat(F.lit("  "), F.col("text"), F.lit("  ")).alias("text")
+    )
+    aug = base.select("text").unionByName(copies).unionByName(pads)
+
+    fp = with_fingerprint(aug).withColumn(
+        "_norm",
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^\w]+", " ")),
+    )
+    per_text = fp.groupBy("_norm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("fingerprint").alias("nfp"),
+        F.countDistinct("min_shingle_fp").alias("nmin"),
+        F.min("fingerprint").alias("anyfp"),
+    )
+    return per_text.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_text_groups"),
+        F.countDistinct("anyfp").alias("n_fp_groups"),
+        (F.count(F.lit(1)) - F.countDistinct("anyfp")).alias("fp_collisions"),
+        F.sum((F.col("nfp") > 1).cast("long")).alias("multi_fp_texts"),
+        F.sum((F.col("nmin") > 1).cast("long")).alias("multi_minfp_texts"),
+    )
+
+
 def _with_ann_recall(ann, exact):
     """Attach per-query recall@k vs the exact brute-force top-k: the
     fraction of the exact neighbour list the ANN list captured (constant
@@ -1585,9 +1632,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     *patterns* are already covered earlier (TPC-H variants, near-duplicate
     capabilities, embedding_topk_ivf ~ embedding_topk_lsh, psi_daily_events
     ~ psi_nchars — all hashdiff-verified each round via tools_hashdiff.py)
-    and the 6 genuinely rows-only ones. Round 4 promoted the MinHash and
-    SimHash engines into the window as recall-pinned verified-pair queries
-    (see q_minhash_verified_pairs / q_simhash_verified_pairs)."""
+    and the genuinely rows-only ones (reasons listed one line each at the
+    end of oracle_sql). Round 4 promoted the MinHash and SimHash engines
+    into the window as recall-pinned verified-pair queries
+    (q_minhash_verified_pairs / q_simhash_verified_pairs) and added
+    property-pinned companions for HLL (q_hll_uniqueness_verified) and
+    document fingerprinting (q_fingerprint_verified)."""
     return {
         # -- north-rule checks (SURVEY §2.3): stats / uniqueness /
         #    referential / drift / verdicts -------------------------------
@@ -1669,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_search": q_vector_search,
         "temperature_mix_docs": q_temperature_mix,
         "semantic_decontaminate_docs": q_semantic_decontaminate,
+        "fingerprint_verified": q_fingerprint_verified,
         # rows-only (hash-seed-dependent / HLL / synthetic media)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1812,6 +1863,34 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS hll_ok
             FROM documents
             GROUP BY source
+        """,
+        # fingerprint_verified: the oracle recomputes the normalised-text
+        # grouping exactly (same regex class, RE2 and Java \w are both
+        # ASCII [0-9A-Za-z_]) over the same planted duplicates; the
+        # fingerprint-side invariants (injectivity, group consistency)
+        # are pinned as the values the properties REQUIRE — any xxhash64
+        # collision or normalisation divergence hash-mismatches
+        "fingerprint_verified": r"""
+            WITH aug AS (
+                SELECT text FROM documents
+                UNION ALL
+                SELECT text FROM documents WHERE doc_id < 100
+                UNION ALL
+                SELECT '  ' || text || '  ' FROM documents WHERE doc_id < 50
+            ),
+            norm AS (
+                SELECT trim(regexp_replace(lower(text), '[^\w]+', ' ', 'g'))
+                       AS norm_text
+                FROM aug
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT norm_text) AS BIGINT)
+                       AS n_text_groups,
+                   CAST(count(DISTINCT norm_text) AS BIGINT) AS n_fp_groups,
+                   CAST(0 AS BIGINT) AS fp_collisions,
+                   CAST(0 AS BIGINT) AS multi_fp_texts,
+                   CAST(0 AS BIGINT) AS multi_minfp_texts
+            FROM norm
         """,
         "psi_daily_events": """
             WITH b AS (
@@ -2642,5 +2721,6 @@ def oracle_sql() -> dict[str, str]:
         # simhash_fingerprints: 64-bit xxhash64 word hashes — engine-specific
         # simhash_near_pairs:   pairs derive from the engine-specific simhash bits
         # fingerprint_docs:     winnowing over xxhash64 shingle hashes — engine-specific
+        #                       (properties value-oracled by fingerprint_verified)
         # hll_uniqueness:       HyperLogLog sketch internals — engine-specific
     }
