@@ -126,10 +126,13 @@ def curate(
     benchmark embedding are dropped — the paraphrase-level complement of
     the n-gram ``benchmark`` stage.
 
-    ``counts=False`` is the production fast path: per-stage row counts
-    are skipped (``stage_counts`` comes back empty), saving one count
-    job per stage. Stages are still localCheckpointed (lazily) so the
-    plan tree stays truncated and no stage lineage executes twice."""
+    ``counts=False`` skips the per-stage row counts (``stage_counts``
+    comes back empty), saving one count job per stage. Stages are still
+    localCheckpointed (lazily) so the plan tree stays truncated and no
+    stage lineage executes twice. Measured at 1M docs on local[32] the
+    saving is NIL (BENCH.md "curate --no-counts A/B"): the counts scan
+    already-cached checkpoint blocks, so the default stays True; the
+    flag's value is cluster scheduler latency, not compute."""
     cfg = cfg or CurateConfig()
     stage_counts: dict[str, int] = {}
     stage_seconds: dict[str, float] = {}
