@@ -1012,6 +1012,39 @@ def q_bpe_tokenize(spark, sf_dir):
     return bpe_tokenize(d, merges)
 
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """Value-oracled BPE pin: tokenize the FULL documents table, then
+    reconstruct each doc's text FROM THE TOKENS (concat symbols, the
+    end-of-word marker becomes a space). BPE segmentation is lossless by
+    construction, so the reconstruction must equal the lowercased,
+    ASCII-whitespace-normalized original — which DuckDB recomputes
+    exactly from the raw text with no knowledge of the merge table. A
+    single corrupted merge, cache-poisoned segmentation, or dropped
+    symbol anywhere in train+apply flips the per-doc value hash, so this
+    promotes the BPE path from rows-only to fully value-oracled (the
+    token IDS themselves stay rows-only: they depend on the learned
+    merge order, which SQL cannot re-derive)."""
+    from polars_genson_spark.operators.tokenizer import (
+        END,
+        bpe_tokenize,
+        train_bpe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = train_bpe(d, n_merges=60)
+    toks = bpe_tokenize(d, merges)
+    return toks.select(
+        "doc_id",
+        F.rtrim(
+            F.replace(
+                F.concat_ws("", F.col("bpe_tokens")),
+                F.lit(END),
+                F.lit(" "),
+            )
+        ).alias("recon_text"),
+    )
+
+
 def q_codec_features(spark, sf_dir):
     """REAL decode of REAL encoded bytes on the executors: PNG images and
     PCM16 WAV audio (this repo's stdlib-only codecs, no PIL/ffmpeg) →
@@ -1720,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_docs": q_temperature_mix,
         "semantic_decontaminate_docs": q_semantic_decontaminate,
         "fingerprint_verified": q_fingerprint_verified,
+        "bpe_roundtrip_docs": q_bpe_roundtrip,
         # rows-only (hash-seed-dependent / HLL / synthetic media)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1891,6 +1925,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS multi_fp_texts,
                    CAST(0 AS BIGINT) AS multi_minfp_texts
             FROM norm
+        """,
+        # bpe_roundtrip_docs: BPE is lossless, so detokenizing the Spark
+        # side's tokens must reproduce the lowercased ASCII-whitespace-
+        # normalized text, which DuckDB recomputes here straight from the
+        # raw column with no knowledge of the learned merges — the RE2
+        # class below matches the tokenizer's _ASCII_WS exactly
+        "bpe_roundtrip_docs": r"""
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(
+                           regexp_split_to_array(
+                               lower(coalesce(text, '')),
+                               '[ \t\n\x0B\f\r]+'
+                           ),
+                           x -> x <> ''
+                       ),
+                       ' '
+                   ) AS recon_text
+            FROM documents
         """,
         "psi_daily_events": """
             WITH b AS (

@@ -33,7 +33,11 @@ SELF_CONTAINED = {
 # global aggregates (no GROUP BY): SQL semantics give exactly ONE row of
 # NULL aggregates over empty input — DuckDB's oracle answer is the same
 # single row, so parity holds; the sweep just expects 1, not 0
-GLOBAL_AGG = {"q6_band_revenue", "q17_small_qty_revenue"}
+GLOBAL_AGG = {
+    "q6_band_revenue",
+    "q17_small_qty_revenue",
+    "fingerprint_verified",
+}
 
 
 @pytest.fixture(scope="module")

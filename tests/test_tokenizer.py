@@ -129,3 +129,60 @@ def test_tokenize_then_validate_chain(spark):
     assert all(r["consistency_violations"] == 0 for r in rows)
     assert all(r["referential_violations"] == 0 for r in rows)
     assert all(r["null_tokens"] == 0 for r in rows)
+
+
+def test_bpe_roundtrip_lossless(spark):
+    """BPE is lossless: concatenating a doc's tokens and turning each
+    end-of-word marker into a space reproduces the lowercased,
+    ASCII-whitespace-normalized text — including on multibyte words and
+    messy whitespace the synthetic corpus never exercises. This is the
+    same invariant the value-oracled bpe_roundtrip_docs driver query
+    pins at corpus scale."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from polars_genson_spark.operators.tokenizer import END
+
+    docs = [
+        (0, "The  QUICK\tbrown\nfox "),
+        (1, "naïve café über 東京 🚀"),
+        (2, ""),
+        (3, None),
+        (4, "low lower newest widest low low"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=30)
+    out = bpe_tokenize(df, merges).select(
+        "doc_id",
+        F.rtrim(
+            F.replace(
+                F.concat_ws("", F.col("bpe_tokens")),
+                F.lit(END),
+                F.lit(" "),
+            )
+        ).alias("recon"),
+    )
+    got = {r["doc_id"]: r["recon"] for r in out.collect()}
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for i, text in docs:
+        expect = " ".join(w for w in ws.split((text or "").lower()) if w)
+        assert got[i] == expect, (i, got[i], expect)
+
+
+def test_driver_query_bpe_roundtrip_matches_oracle(spark):
+    """Driver-gate emulation at sf0.001: the Spark reconstruction equals
+    DuckDB's normalization of the raw text for every doc."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    out = E.queries()["bpe_roundtrip_docs"](spark, "/root/testdata/sf0.001")
+    got = {r["doc_id"]: r["recon_text"] for r in out.collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    oracle = dict(con.execute(E.oracle_sql()["bpe_roundtrip_docs"]).fetchall())
+    assert got == oracle and len(got) > 0
