@@ -522,6 +522,15 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--output", required=True, help="token table parquet")
     tk.add_argument("--n-merges", type=int, default=500)
     tk.add_argument("--max-words", type=int, default=50_000)
+    tk.add_argument(
+        "--apply-method",
+        choices=["inplace", "join"],
+        default="inplace",
+        help="inplace: zero-shuffle mapInPandas with a seeded per-word "
+             "cache (Python per word occurrence); join: posexplode + "
+             "segment unique words only + regroup (two corpus shuffles, "
+             "Python per UNIQUE word). See BENCH.md for the measured A/B",
+    )
 
     b = sub.add_parser("bench-one", help="one pinned throughput measurement")
     b.add_argument("--rows", type=int, required=True)
@@ -674,6 +683,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "tokenize":
             from .operators.tokenizer import (
                 bpe_tokenize_ids,
+                bpe_tokenize_ids_join,
                 train_bpe_with_vocab,
             )
 
@@ -684,9 +694,15 @@ def main(argv: list[str] | None = None) -> int:
                 max_words=args.max_words,
                 return_words=True,
             )
-            # seed the apply cache with the training rollup's words:
-            # segmented once on the driver, broadcast once per executor
-            toks = bpe_tokenize_ids(docs, merges, vocab, seed_words=words)
+            if getattr(args, "apply_method", "inplace") == "join":
+                toks = bpe_tokenize_ids_join(docs, merges, vocab)
+            else:
+                # seed the apply cache with the training rollup's words:
+                # segmented once on the driver, broadcast once per
+                # executor
+                toks = bpe_tokenize_ids(
+                    docs, merges, vocab, seed_words=words
+                )
             if "source" in docs.columns:
                 toks = toks.join(
                     docs.select("doc_id", "source"), "doc_id"

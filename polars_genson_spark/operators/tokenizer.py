@@ -299,3 +299,94 @@ def bpe_tokenize_ids(
             yield pd.DataFrame({id_col: ids, "tokens": toks, "n_tok": ns})
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def bpe_tokenize_ids_join(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Same output contract as :func:`bpe_tokenize_ids`, different
+    physical strategy: Python touches only the corpus's UNIQUE words.
+
+    1. ``posexplode`` the JVM word split (corpus-sized, zero Python),
+    2. ``distinct`` the words (map-side combined — the shuffle carries
+       the unique vocabulary, not the corpus),
+    3. segment the unique words in one ``mapInPandas`` (Python cost is
+       O(unique words), immune to the Zipf tail re-derivation the
+       in-place cache pays per partition per executor),
+    4. join the segment table back onto the exploded words (AQE picks
+       broadcast when the vocabulary is small and splits the skewed
+       hot-word keys — "the" lands on one join key — when it is not),
+    5. regroup per doc in the JVM: ``array_sort(collect_list(struct(pos,
+       ids)))`` then flatten, so token order is exact without any
+       Python-side reassembly.
+
+    Trade-off vs the in-place path: this shuffles the corpus twice
+    (distinct + regroup) but removes ALL per-document Python; the
+    in-place path is zero-shuffle but pays Python per word occurrence
+    (amortized by its cache). Which wins is corpus-shaped — natural text
+    with a fat Zipf head favors in-place, heavy-unique-word corpora
+    (code, URLs, hashes) favor join. `jobs tokenize --apply-method`
+    exposes both; BENCH.md records the measured A/B.
+
+    Word split/lowercase parity: steps 1–3 reuse the SAME JVM
+    expression (`text._words`) as training, so join-apply can never
+    disagree with the learned merges on word boundaries."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .text import _words
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(_words(text_col)).alias("pos", "word"),
+    ).where(F.col("word") != "")
+
+    seg_schema = T.StructType([
+        T.StructField("word", T.StringType()),
+        T.StructField("word_ids", T.ArrayType(T.IntegerType())),
+    ])
+
+    def seg_run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "word_ids": [
+                    [vocab.get(s, 0) for s in _segment(w, ranks)]
+                    for w in pdf["word"]
+                ],
+            })
+
+    seg = words.select("word").distinct().mapInPandas(seg_run, seg_schema)
+
+    per_doc = (
+        words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word_ids"))),
+                    lambda s: s["word_ids"],
+                )
+            ).alias("tokens")
+        )
+    )
+    # docs with no words (empty/NULL text) vanish at the explode; left
+    # join restores them with an empty token array, matching the
+    # in-place path's output exactly
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("tokens"), F.array().cast("array<int>")
+            ).alias("tokens"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )

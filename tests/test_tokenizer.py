@@ -186,3 +186,41 @@ def test_driver_query_bpe_roundtrip_matches_oracle(spark):
     )
     oracle = dict(con.execute(E.oracle_sql()["bpe_roundtrip_docs"]).fetchall())
     assert got == oracle and len(got) > 0
+
+
+def test_join_apply_matches_inplace(spark):
+    """The all-JVM join apply path must be row-for-row identical to the
+    in-place mapInPandas path — same ids, same token sequences — on real
+    docs plus the empty/NULL/whitespace edges the explode step drops."""
+    from pyspark.sql import functions as F
+
+    from polars_genson_spark.operators.tokenizer import (
+        bpe_tokenize_ids,
+        bpe_tokenize_ids_join,
+        train_bpe_with_vocab,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [(100001, ""), (100002, None), (100003, "   "), (100004, "one")],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(edges)
+    merges, vocab, words = train_bpe_with_vocab(
+        df, n_merges=40, return_words=True
+    )
+    inplace = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in bpe_tokenize_ids(
+            df, merges, vocab, seed_words=words
+        ).collect()
+    }
+    joined = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in bpe_tokenize_ids_join(df, merges, vocab).collect()
+    }
+    assert set(inplace) == set(joined)
+    assert inplace == joined
+    assert joined[100001] == ([], 0) and joined[100002] == ([], 0)
