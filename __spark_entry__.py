@@ -1045,6 +1045,28 @@ def q_bpe_roundtrip(spark, sf_dir):
     )
 
 
+def q_split_corpus(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment plus the
+    engine-portable shuffle key (sample.split_corpus / sample.shuffle_key):
+    bucket = first 8 hex chars of md5("<seed>:<id>") vs exact-integer
+    cumulative thresholds. md5 is md5 in every engine, so the oracle
+    recomputes BOTH columns bit-for-bit — the split is stable across
+    partitioning/cluster size and fully value-oracled. Zero-shuffle
+    (pure codegen expression)."""
+    from polars_genson_spark.operators.sample import (
+        shuffle_key,
+        split_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = split_corpus(d, {"train": 8, "val": 1, "test": 1}, seed=7)
+    return out.select(
+        "doc_id",
+        shuffle_key("doc_id", 7).alias("shuffle_key"),
+        "split",
+    )
+
+
 def q_codec_features(spark, sf_dir):
     """REAL decode of REAL encoded bytes on the executors: PNG images and
     PCM16 WAV audio (this repo's stdlib-only codecs, no PIL/ffmpeg) →
@@ -1754,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontaminate_docs": q_semantic_decontaminate,
         "fingerprint_verified": q_fingerprint_verified,
         "bpe_roundtrip_docs": q_bpe_roundtrip,
+        "split_corpus_docs": q_split_corpus,
         # rows-only (hash-seed-dependent / HLL / synthetic media)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1925,6 +1948,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS multi_fp_texts,
                    CAST(0 AS BIGINT) AS multi_minfp_texts
             FROM norm
+        """,
+        # split_corpus_docs: md5 is md5 in every engine, so the oracle
+        # recomputes the shuffle key AND the split assignment exactly.
+        # Thresholds: weights {test:1, train:8, val:1} (sorted names),
+        # total 10 — test: (1*16^8)//10 = 0x19999999, train: (9*16^8)//10
+        # = 0xe6666666, val: else — same integer math as split_corpus
+        "split_corpus_docs": """
+            SELECT doc_id,
+                   md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                   CASE
+                     WHEN substring(
+                            md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8
+                          ) < '19999999' THEN 'test'
+                     WHEN substring(
+                            md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8
+                          ) < 'e6666666' THEN 'train'
+                     ELSE 'val'
+                   END AS split
+            FROM documents
         """,
         # bpe_roundtrip_docs: BPE is lossless, so detokenizing the Spark
         # side's tokens must reproduce the lowercased ASCII-whitespace-

@@ -133,3 +133,90 @@ def temperature_mix(
         df, rates, default_rate=(0, 1), group_col=group_col,
         id_col=id_col, method=method,
     )
+
+
+def shuffle_key(id_col: str = "doc_id", seed: int = 0) -> Column:
+    """Engine-portable pseudo-random sort key: ``md5("<seed>:<id>")``.
+
+    md5 is md5 in every engine (unlike xxhash64, whose seed/variant is
+    Spark-specific), so the induced order is bit-reproducible by the
+    DuckDB oracle, by a downstream reader re-deriving epoch order, and
+    by a re-run on different partitioning. Changing ``seed`` yields an
+    independent permutation (different epochs shuffle differently)."""
+    return F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Seeded, partition-layout-independent GLOBAL shuffle for training
+    order randomization (every LM pipeline's last step before writing
+    epoch shards).
+
+    Scale shape: ``repartitionByRange`` on the md5 key + in-partition
+    sort — a single range exchange producing a total order across
+    output files (file i holds keys below file i+1's), with NO
+    single-partition window/zipWithIndex bottleneck. Writing the result
+    preserves the order in the shard layout, so readers stream the
+    corpus in shuffled order for free."""
+    out = df.withColumn("_shuffle_key", shuffle_key(id_col, seed))
+    cols = [F.col("_shuffle_key"), F.col(id_col)]
+    ranged = (
+        out.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else out.repartitionByRange(*cols)  # spark.sql.shuffle.partitions
+    )
+    return ranged.sortWithinPartitions("_shuffle_key", id_col).drop(
+        "_shuffle_key"
+    )
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment.
+
+    Each row's bucket is the first 8 hex chars of ``md5("<seed>:<id>")``
+    — uniform over [0, 16^8) — compared against cumulative thresholds
+    derived from ``weights`` by exact integer math. Properties a
+    training pipeline needs and RNG splits don't give:
+
+    - stable: a doc's split never changes with partitioning, cluster
+      size, or row order (no RNG state, no zipWithIndex);
+    - disjoint + exhaustive by construction (chained half-open ranges);
+    - engine-portable: the oracle (or a feature store in another stack)
+      recomputes the same assignment from the same formula;
+    - zero-shuffle: pure codegen column expression.
+
+    ``weights`` e.g. ``{"train": 98, "val": 1, "test": 1}`` (the
+    default). Split names are processed in sorted order so the
+    name→range mapping is itself deterministic."""
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights!r}")
+    total = sum(weights.values())
+    key8 = F.substring(shuffle_key(id_col, seed), 1, 8)
+    items = sorted(weights.items())
+    expr = None
+    acc = 0
+    for name, w in items[:-1]:
+        acc += w
+        threshold = format((acc * 16**8) // total, "08x")
+        cond = key8 < F.lit(threshold)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = items[-1][0]
+    assigned = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, assigned)

@@ -623,3 +623,76 @@ def test_pack_sequences():
         big.where("doc_id > 9"), context_len=10
     ).collect()
     assert ok == []  # null + empty rows produce nothing
+
+
+def test_deterministic_shuffle_layout_independent(spark):
+    """Same seed → same global order regardless of input partitioning;
+    different seed → different permutation; global order is total
+    ACROSS output partitions (range exchange, no single-partition
+    window)."""
+    from pyspark.sql import functions as F
+
+    from polars_genson_spark.operators.sample import (
+        deterministic_shuffle,
+        shuffle_key,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id")
+
+    a = deterministic_shuffle(docs.repartition(7), seed=3, num_partitions=4)
+    b = deterministic_shuffle(docs.coalesce(1), seed=3, num_partitions=4)
+    ids_a = [r["doc_id"] for r in a.collect()]
+    ids_b = [r["doc_id"] for r in b.collect()]
+    # collect() preserves partition index order + in-partition order, so
+    # equal lists prove the same TOTAL order from both layouts
+    assert ids_a == ids_b and len(ids_a) == docs.count()
+
+    c = [r["doc_id"] for r in deterministic_shuffle(docs, seed=4).collect()]
+    assert c != ids_a  # a different epoch seed permutes differently
+
+    # total order: the collected sequence is sorted by the md5 key
+    keys = {
+        r["doc_id"]: r["k"]
+        for r in docs.select(
+            "doc_id", shuffle_key("doc_id", 3).alias("k")
+        ).collect()
+    }
+    seq = [keys[i] for i in ids_a]
+    assert seq == sorted(seq)
+
+
+def test_split_corpus_properties(spark):
+    """Disjoint + exhaustive + stable across partitioning; proportions
+    near the weights; rejects bad weights."""
+    import pytest as _pytest
+
+    from polars_genson_spark.operators.sample import split_corpus
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id")
+    w = {"train": 8, "val": 1, "test": 1}
+    out = split_corpus(docs, w, seed=7)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(counts.values())
+    assert n == docs.count()  # exhaustive, one split per row
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.05
+    assert abs(counts["val"] / n - 0.1) < 0.04
+    assert abs(counts["test"] / n - 0.1) < 0.04
+
+    # stability: identical assignment from a different layout
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs.repartition(13), w, seed=7).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+    with _pytest.raises(ValueError):
+        split_corpus(docs, {"train": 0, "val": 1})
