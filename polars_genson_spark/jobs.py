@@ -491,6 +491,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--semantic-clusters", type=int, default=None,
                    help="SemDeDup cluster count; default auto-sizes "
                         "from the vector count (~2k vectors/cluster)")
+    c.add_argument("--split", default=None,
+                   help="doc-level train/val/test assignment as "
+                        "name:weight pairs, e.g. 'train:98,val:1,test:1' "
+                        "— deterministic md5 hash split; with packing, "
+                        "each split packs separately")
+    c.add_argument("--split-seed", type=int, default=0)
+    c.add_argument("--shuffle-seed", type=int, default=None,
+                   help="seeded epoch shuffle of the final table (one "
+                        "range exchange; layout-independent total order)")
 
     sv = sub.add_parser(
         "stream-validate",
@@ -652,6 +661,20 @@ def main(argv: list[str] | None = None) -> int:
                 if args.benchmark_embeddings
                 else None
             )
+            split_weights = None
+            if args.split:
+                try:
+                    split_weights = {
+                        name: int(w)
+                        for name, w in (
+                            part.split(":") for part in args.split.split(",")
+                        )
+                    }
+                except ValueError as e:
+                    raise SystemExit(
+                        f"--split must be name:weight pairs "
+                        f"('train:98,val:1,test:1'), got {args.split!r}: {e}"
+                    )
             cfg = CurateConfig(
                 chunk_size=args.chunk_size,
                 chunk_overlap=args.chunk_overlap,
@@ -665,6 +688,9 @@ def main(argv: list[str] | None = None) -> int:
                 minhash_bucket_max=args.minhash_bucket_max,
                 cluster_method=args.cluster_method,
                 decontamination_threshold=args.decontamination_threshold,
+                split_weights=split_weights,
+                split_seed=args.split_seed,
+                shuffle_seed=args.shuffle_seed,
             )
             result = curate(
                 docs, benchmark, cfg,

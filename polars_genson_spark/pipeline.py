@@ -4,7 +4,9 @@ pipeline operators into the shape a real pre-training data job runs.
     raw docs → exact dedup → near-dup dedup (MinHash candidates →
     exact-Jaccard verify → connected components, keep cluster min) →
     benchmark decontamination → quality filter → stratified sample →
-    PII-style redaction → fixed-size token chunks
+    PII-style redaction → fixed-size token chunks → [doc-level
+    train/val/test split] → [context-length packing, per split] →
+    [seeded epoch shuffle]
 
 Every stage is a DataFrame→DataFrame transform (lazy until the final
 write), so Catalyst fuses the cheap stages and the expensive ones
@@ -85,6 +87,18 @@ class CurateConfig:
     pack_context_len: int | None = None
     pack_pad_id: int | None = None
     vocab_size: int = 50_257
+    # optional train/val/test assignment (None = off): doc-level
+    # deterministic hash split (sample.split_corpus) — every chunk of a
+    # doc carries the same split, so documents never straddle splits;
+    # with packing enabled each split packs SEPARATELY, so no training
+    # sequence mixes split material (eval leakage through a shared pack)
+    split_weights: dict[str, int] | None = None
+    split_seed: int = 0
+    # optional seeded epoch shuffle of the final output (None = off):
+    # sample.deterministic_shuffle — one range exchange producing a
+    # partition-layout-independent total order, so written shards stream
+    # in shuffled order
+    shuffle_seed: int | None = None
 
 
 @dataclass
@@ -307,6 +321,17 @@ def curate(
         "chunks"
     )
 
+    # 6b. optional doc-level split assignment: pure zero-shuffle
+    #     expression on the doc id, so all of a doc's chunks share one
+    #     split and the assignment is stable across runs/partitionings
+    if cfg.split_weights is not None:
+        from .operators.sample import split_corpus
+
+        chunks = split_corpus(
+            chunks, cfg.split_weights, id_col=cfg.id_col,
+            seed=cfg.split_seed,
+        )
+
     # 7. optional batch assembly: pack chunks into context-length
     #    sequences (greedy first-fit per partition; see pack_sequences)
     if cfg.pack_context_len is not None:
@@ -333,9 +358,10 @@ def curate(
             if counts
             else default_par
         )
-        chunks = stage(
-            pack_sequences(
-                chunks,
+
+        def pack(df: DataFrame) -> DataFrame:
+            return pack_sequences(
+                df,
                 cfg.pack_context_len,
                 id_col=cfg.id_col,
                 pad_id=cfg.pack_pad_id,
@@ -346,9 +372,52 @@ def curate(
                 deterministic=True,
                 num_partitions=pack_parts,
                 order_cols=[cfg.id_col, "chunk_id"],
-            ),
-            "packed",
-        )
+            )
+
+        if cfg.split_weights is not None:
+            # pack each split separately: a training sequence must never
+            # mix train and held-out material. pack_ids are prefixed
+            # with the split so they stay globally unique
+            parts = []
+            for name in sorted(cfg.split_weights):
+                p = pack(
+                    chunks.where(F.col("split") == name).drop("split")
+                )
+                parts.append(
+                    p.withColumn(
+                        "pack_id",
+                        F.concat_ws(":", F.lit(name), F.col("pack_id")),
+                    ).withColumn("split", F.lit(name))
+                )
+            packed = parts[0]
+            for p in parts[1:]:
+                packed = packed.unionByName(p)
+            chunks = stage(packed, "packed")
+        else:
+            chunks = stage(pack(chunks), "packed")
+
+    # 8. optional epoch shuffle of whatever the final table is (packs or
+    #    raw chunks): one range exchange on an engine-portable md5 key
+    if cfg.shuffle_seed is not None:
+        from .operators.sample import deterministic_shuffle
+
+        if cfg.pack_context_len is not None:
+            chunks = deterministic_shuffle(
+                chunks, id_col="pack_id", seed=cfg.shuffle_seed
+            )
+        else:
+            chunks = deterministic_shuffle(
+                chunks.withColumn(
+                    "_row_key",
+                    F.concat_ws(
+                        ":",
+                        F.col(cfg.id_col).cast("string"),
+                        F.col("chunk_id").cast("string"),
+                    ),
+                ),
+                id_col="_row_key",
+                seed=cfg.shuffle_seed,
+            ).drop("_row_key")
 
     return CurateResult(
         chunks=chunks,

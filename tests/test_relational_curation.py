@@ -696,3 +696,67 @@ def test_split_corpus_properties(spark):
 
     with _pytest.raises(ValueError):
         split_corpus(docs, {"train": 0, "val": 1})
+
+
+def test_curate_split_pack_shuffle_stages(spark):
+    """The optional tail stages compose: doc-level split carried by
+    every chunk (no doc straddles splits), per-split packing (no pack
+    mixes split material, pack_ids stay globally unique), and the epoch
+    shuffle only reorders — same rows, layout-independent order."""
+    from polars_genson_spark.pipeline import CurateConfig, curate
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .where(F.col("doc_id") < 200)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text", "source")
+    )
+    w = {"train": 8, "val": 1, "test": 1}
+
+    # chunks variant: split column present, doc-level consistent
+    res = curate(
+        docs,
+        cfg=CurateConfig(
+            near_dup=False, chunk_size=64,
+            split_weights=w, split_seed=7, shuffle_seed=11,
+        ),
+    )
+    rows = res.chunks.collect()
+    assert rows and "split" in res.chunks.columns
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_doc.values())
+
+    # shuffle is a pure reorder with a layout-independent total order
+    res2 = curate(
+        docs.repartition(17),
+        cfg=CurateConfig(
+            near_dup=False, chunk_size=64,
+            split_weights=w, split_seed=7, shuffle_seed=11,
+        ),
+    )
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert [key(r) for r in res2.chunks.collect()] == [key(r) for r in rows]
+
+    # packed variant: per-split packing, source docs never cross splits
+    from polars_genson_spark.operators.sample import split_corpus
+
+    packed = curate(
+        docs,
+        cfg=CurateConfig(
+            near_dup=False, chunk_size=64,
+            pack_context_len=256, pack_pad_id=0,
+            split_weights=w, split_seed=7,
+        ),
+    )
+    prow = packed.chunks.collect()
+    assert packed.stage_counts["packed"] == len(prow) > 0
+    assert len({r["pack_id"] for r in prow}) == len(prow)  # globally unique
+    doc_split = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(docs, w, seed=7).collect()
+    }
+    for r in prow:
+        assert r["pack_id"].startswith(r["split"] + ":")
+        for sid in r["source_ids"]:
+            assert doc_split[int(sid)] == r["split"]
