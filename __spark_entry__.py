@@ -1030,7 +1030,15 @@ def q_bpe_roundtrip(spark, sf_dir):
         train_bpe,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # docs whose TEXT contains the literal end-of-word marker string are
+    # excluded on BOTH sides: after concat, a literal "</w>" in the text
+    # is indistinguishable from the marker (the marker-collision
+    # ambiguity every marker-based detokenizer has), so the string-level
+    # reconstruction below would false-mismatch on them. NULL text stays
+    # in (reconstructs to '').
+    d = _t(spark, sf_dir, "documents").where(
+        ~F.coalesce(F.col("text"), F.lit("")).contains(END)
+    )
     merges = train_bpe(d, n_merges=60)
     toks = bpe_tokenize(d, merges)
     return toks.select(
@@ -1972,7 +1980,9 @@ def oracle_sql() -> dict[str, str]:
         # side's tokens must reproduce the lowercased ASCII-whitespace-
         # normalized text, which DuckDB recomputes here straight from the
         # raw column with no knowledge of the learned merges — the RE2
-        # class below matches the tokenizer's _ASCII_WS exactly
+        # class below matches the tokenizer's _ASCII_WS exactly. Docs
+        # containing the literal '</w>' marker string are excluded on
+        # both sides (marker-collision ambiguity — see q_bpe_roundtrip)
         "bpe_roundtrip_docs": r"""
             SELECT doc_id,
                    array_to_string(
@@ -1986,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
                        ' '
                    ) AS recon_text
             FROM documents
+            WHERE coalesce(text, '') NOT LIKE '%</w>%'
         """,
         "psi_daily_events": """
             WITH b AS (

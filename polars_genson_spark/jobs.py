@@ -670,9 +670,13 @@ def main(argv: list[str] | None = None) -> int:
                             part.split(":") for part in args.split.split(",")
                         )
                     }
+                    if not split_weights or any(
+                        w <= 0 for w in split_weights.values()
+                    ):
+                        raise ValueError("weights must be positive")
                 except ValueError as e:
                     raise SystemExit(
-                        f"--split must be name:weight pairs "
+                        f"--split must be name:positive-weight pairs "
                         f"('train:98,val:1,test:1'), got {args.split!r}: {e}"
                     )
             cfg = CurateConfig(

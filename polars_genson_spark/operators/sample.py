@@ -142,9 +142,17 @@ def shuffle_key(id_col: str = "doc_id", seed: int = 0) -> Column:
     Spark-specific), so the induced order is bit-reproducible by the
     DuckDB oracle, by a downstream reader re-deriving epoch order, and
     by a re-run on different partitioning. Changing ``seed`` yields an
-    independent permutation (different epochs shuffle differently)."""
+    independent permutation (different epochs shuffle differently).
+
+    NULL ids yield a NULL key (``concat`` null-propagates, matching
+    SQL's ``||``): they sort together under ``deterministic_shuffle``
+    and fall through every threshold in ``split_corpus`` to its LAST
+    split — the same behavior a SQL engine's CASE gives, so the
+    engine-portability contract holds for NULLs too."""
     return F.md5(
-        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+        F.concat(
+            F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")
+        )
     )
 
 
@@ -200,7 +208,10 @@ def split_corpus(
     ``weights`` e.g. ``{"train": 98, "val": 1, "test": 1}`` (the
     default). Split names are processed in sorted order so the
     name→range mapping is itself deterministic."""
-    weights = weights or {"train": 98, "val": 1, "test": 1}
+    if weights is None:
+        weights = {"train": 98, "val": 1, "test": 1}
+    # an explicit {} is an error, not a request for the default — only
+    # None opts into 98/1/1
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError(f"weights must be positive, got {weights!r}")
     total = sum(weights.values())

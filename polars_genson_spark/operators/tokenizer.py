@@ -340,6 +340,28 @@ def bpe_tokenize_ids_join(
 
     from .text import _words
 
+    # PRECONDITION (checked, fail-loud): ids must be unique. The regroup
+    # below is groupBy(id), so two rows sharing an id would silently
+    # interleave their token streams into one corrupted array — unlike
+    # the in-place path, which is row-wise and tolerates duplicates. The
+    # check is one column-pruned scan of the id column (map-combined
+    # rollup); the validation engine itself flags duplicate ids as a
+    # violation, so a clean corpus pays the scan and nothing else.
+    dup = (
+        df.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            f"bpe_tokenize_ids_join requires unique {id_col!r} values "
+            "(the per-doc regroup would interleave duplicate ids' "
+            "tokens); deduplicate first or use the in-place "
+            "bpe_tokenize_ids, which is row-wise"
+        )
+
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     words = df.select(

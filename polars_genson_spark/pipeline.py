@@ -353,13 +353,15 @@ def curate(
         default_par = int(
             chunks.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        pack_parts = (
-            max(1, min(default_par, stage_counts["chunks"] // 64))
-            if counts
-            else default_par
-        )
 
-        def pack(df: DataFrame) -> DataFrame:
+        def parts_for(n_chunks: int | None) -> int:
+            return (
+                max(1, min(default_par, n_chunks // 64))
+                if n_chunks is not None
+                else default_par
+            )
+
+        def pack(df: DataFrame, num_partitions: int) -> DataFrame:
             return pack_sequences(
                 df,
                 cfg.pack_context_len,
@@ -370,18 +372,31 @@ def curate(
                 # produce byte-identical packs (range partitioning's
                 # sampled boundaries would not guarantee this)
                 deterministic=True,
-                num_partitions=pack_parts,
+                num_partitions=num_partitions,
                 order_cols=[cfg.id_col, "chunk_id"],
             )
+
+        n_chunks = stage_counts["chunks"] if counts else None
 
         if cfg.split_weights is not None:
             # pack each split separately: a training sequence must never
             # mix train and held-out material. pack_ids are prefixed
-            # with the split so they stay globally unique
+            # with the split so they stay globally unique. Partition
+            # count is prorated by the split's weight (the hash split is
+            # uniform, so weight share ≈ chunk share) — sizing every
+            # split from the TOTAL chunk count would spread a 1%-weight
+            # val/test split over ~100× too many partitions and bleed
+            # its fill ratio into padding
+            total_w = sum(cfg.split_weights.values())
             parts = []
             for name in sorted(cfg.split_weights):
+                share = cfg.split_weights[name] / total_w
+                split_parts = parts_for(
+                    int(n_chunks * share) if n_chunks is not None else None
+                )
                 p = pack(
-                    chunks.where(F.col("split") == name).drop("split")
+                    chunks.where(F.col("split") == name).drop("split"),
+                    split_parts,
                 )
                 parts.append(
                     p.withColumn(
@@ -394,7 +409,7 @@ def curate(
                 packed = packed.unionByName(p)
             chunks = stage(packed, "packed")
         else:
-            chunks = stage(pack(chunks), "packed")
+            chunks = stage(pack(chunks, parts_for(n_chunks)), "packed")
 
     # 8. optional epoch shuffle of whatever the final table is (packs or
     #    raw chunks): one range exchange on an engine-portable md5 key

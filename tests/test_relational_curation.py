@@ -760,3 +760,31 @@ def test_curate_split_pack_shuffle_stages(spark):
         assert r["pack_id"].startswith(r["split"] + ":")
         for sid in r["source_ids"]:
             assert doc_split[int(sid)] == r["split"]
+
+
+def test_split_corpus_null_and_empty_edge_cases(spark):
+    """Explicit {} weights raise (only None opts into the 98/1/1
+    default); NULL ids get a NULL md5 key (concat null-propagates like
+    SQL ||) and fall through every CASE threshold to the LAST sorted
+    split — matching what the DuckDB oracle's CASE computes."""
+    from polars_genson_spark.operators.sample import (
+        shuffle_key,
+        split_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "y")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        split_corpus(df, {})
+
+    out = split_corpus(df, {"train": 8, "val": 1, "test": 1}, seed=7)
+    rows = {r["text"]: r["split"] for r in out.collect()}
+    assert rows["y"] == "val"  # last sorted split name
+    keys = {
+        r["text"]: r["k"]
+        for r in df.select(
+            "text", shuffle_key("doc_id", 7).alias("k")
+        ).collect()
+    }
+    assert keys["y"] is None and keys["x"] is not None

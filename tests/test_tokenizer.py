@@ -224,3 +224,46 @@ def test_join_apply_matches_inplace(spark):
     assert set(inplace) == set(joined)
     assert inplace == joined
     assert joined[100001] == ([], 0) and joined[100002] == ([], 0)
+
+
+def test_join_apply_rejects_duplicate_ids(spark):
+    """The join path's regroup is groupBy(id); duplicate ids would
+    silently interleave two docs' tokens, so it must fail loud (the
+    in-place path is row-wise and tolerates them)."""
+    from polars_genson_spark.operators.tokenizer import (
+        bpe_tokenize_ids,
+        bpe_tokenize_ids_join,
+        train_bpe_with_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(5, "a b"), (5, "c d"), (6, "e f")], "doc_id long, text string"
+    )
+    merges, vocab = train_bpe_with_vocab(df, n_merges=5)
+    with pytest.raises(ValueError, match="unique"):
+        bpe_tokenize_ids_join(df, merges, vocab)
+    # in-place: one output row per input row, duplicates preserved
+    assert bpe_tokenize_ids(df, merges, vocab).count() == 3
+
+
+def test_driver_bpe_roundtrip_excludes_literal_marker(spark):
+    """A doc whose TEXT contains the literal '</w>' string is excluded
+    from the roundtrip gate on both sides (after concat it is
+    indistinguishable from the end-of-word marker — the ambiguity every
+    marker-based detokenizer has)."""
+    import __spark_entry__ as E
+
+    sql = E.oracle_sql()["bpe_roundtrip_docs"]
+    assert "NOT LIKE '%</w>%'" in sql
+    # the Spark side filters identically — equal row counts at sf0.001
+    out = E.queries()["bpe_roundtrip_docs"](spark, "/root/testdata/sf0.001")
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    assert out.count() == con.execute(
+        f"SELECT count(*) FROM ({sql})"
+    ).fetchone()[0]
