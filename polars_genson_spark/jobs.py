@@ -407,6 +407,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="token-id upper bound; default: the input dir's "
                         "_tokenizer.json sidecar if present (written by "
                         "`tokenize`), else 50257")
+    v.add_argument("--packs", action="store_true",
+                   help="input is a curate pack table (pack_id, tokens, "
+                        "n_tokens[, split]): adapt to the validate "
+                        "contract — pack_id→doc_id, padding stripped "
+                        "(slice to n_tokens), split→source (so drift "
+                        "between train/val/test doubles as a split-bias "
+                        "check). Without --allowed, the allowed-source "
+                        "dim defaults to the splits present in the "
+                        "input (pass --allowed to actually constrain)")
 
     g = sub.add_parser("generate", help="write a synthetic corpus")
     g.add_argument("--output", required=True)
@@ -832,11 +841,35 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if args.cmd == "validate":
             corpus = spark.read.parquet(args.input)
-            allowed = (
-                spark.read.parquet(args.allowed)
-                if args.allowed
-                else allowed_sources_df(spark)
-            )
+            if getattr(args, "packs", False):
+                # adapt the curate pack table to the validate contract:
+                # padding is stripped (slice to the pre-pad n_tokens) so
+                # the n_tok-consistency check sees the real content, and
+                # the split becomes the source so the drift check
+                # compares train vs val vs test token distributions —
+                # a hash split should show NO drift; drift here means
+                # the split is biased
+                src = (
+                    F.col("split")
+                    if "split" in corpus.columns
+                    else F.lit("packs")
+                )
+                corpus = corpus.select(
+                    F.col("pack_id").cast("string").alias("doc_id"),
+                    F.slice(
+                        F.col("tokens"), F.lit(1), F.col("n_tokens")
+                    ).alias("tokens"),
+                    F.col("n_tokens").cast("int").alias("n_tok"),
+                    src.alias("source"),
+                )
+            if args.allowed:
+                allowed = spark.read.parquet(args.allowed)
+            elif getattr(args, "packs", False):
+                # default allowed dim for packs = the splits present
+                # (documented: self-derived, pass --allowed to constrain)
+                allowed = corpus.select("source").distinct()
+            else:
+                allowed = allowed_sources_df(spark)
             from .config import ValidationConfig as _VC
 
             vocab_size = args.vocab_size

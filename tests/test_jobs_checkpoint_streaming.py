@@ -474,3 +474,43 @@ def test_tokenize_cli_then_validate_autovocab(tmp_path):
     assert all(
         p["null_tokens"] == 0 for p in manifest["partitions"].values()
     )
+
+
+def test_curate_packs_then_validate_packs(tmp_path):
+    """Closing the loop: curate (split + pack) → validate --packs. The
+    pack adapter strips padding (n_tok consistency sees real content),
+    maps split→source, and self-derives the allowed dim — a clean run
+    must be ALL GREEN, including no drift between train/val/test (a
+    hash split is unbiased by construction; drift here = split bias)."""
+    import json
+    import subprocess
+    import sys
+
+    packs = str(tmp_path / "packs")
+    run = str(tmp_path / "run")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    c = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "curate",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", packs, "--chunk-size", "64", "--no-near-dup",
+         "--pack-context-len", "256", "--pack-pad-id", "0",
+         "--split", "train:8,val:1,test:1", "--shuffle-seed", "5"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert c.returncode == 0, c.stderr[-2000:]
+    summary = json.loads(c.stdout.strip().splitlines()[-1])
+    assert summary["packed"] > 0
+
+    v = subprocess.run(
+        [sys.executable, "-m", "polars_genson_spark.jobs", "validate",
+         "--input", packs, "--output", run, "--packs"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert v.returncode == 0, (v.stdout[-500:], v.stderr[-2000:])
+    out = json.loads(v.stdout.strip().splitlines()[-1])
+    assert out["all_passed"] is True
+    assert sorted(out["validated"]) == ["test", "train", "val"]
+    manifest = json.load(open(os.path.join(run, "manifest.json")))
+    for p in manifest["partitions"].values():
+        assert p["consistency_violations"] == 0
+        assert p["referential_violations"] == 0
