@@ -2705,7 +2705,9 @@ def oracle_sql() -> dict[str, str]:
         # temperature_rates EXACTLY — pow(n, 0.5) (T=2), weight total via
         # list_sum over source-sorted weights (fixed accumulation order,
         # matching the driver's sorted loop), ((w/tw)*target)/n op order,
-        # floor-truncation to micro-units
+        # floor-truncation to micro-units, and the sub-1/scale rescue
+        # branch (num=0, frac>0 → keep 1 in ceil(1/frac)) — can't
+        # trigger at this SF's fracs but mirrored for exactness
         "temperature_mix_docs": """
             WITH c AS (
                 SELECT source, count(*) AS n FROM documents
@@ -2717,6 +2719,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             r AS (
                 SELECT source,
+                       ((w / tot.tw) * 300) / n AS frac,
                        least(100, CAST(floor(
                            ((w / tot.tw) * 300) / n * 100
                        ) AS BIGINT)) AS num
@@ -2724,7 +2727,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source
             FROM documents d JOIN r ON d.source = r.source
-            WHERE d.doc_id % 100 < r.num
+            WHERE (r.num > 0 AND d.doc_id % 100 < r.num)
+               OR (r.num = 0 AND r.frac > 0
+                   AND d.doc_id % CAST(ceil(1.0 / r.frac) AS BIGINT) < 1)
         """,
         "repetition_trigrams": """
             WITH w AS (

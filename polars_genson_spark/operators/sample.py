@@ -17,6 +17,8 @@ integer arithmetic, not float comparison.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
@@ -40,6 +42,14 @@ def stratified_sample(
         key = F.col(id_col).cast("long")
     else:
         raise ValueError(f"unknown method {method!r} (use 'hash' or 'mod')")
+    for group, (n, d) in [*rates.items(), ("<default>", default_rate)]:
+        # fail loud: pmod(key, 0) is NULL under non-ANSI Spark, and
+        # where(NULL) would silently drop the whole group
+        if d <= 0 or n < 0:
+            raise ValueError(
+                f"rate for {group!r} must have denom > 0 and num >= 0, "
+                f"got ({n}, {d})"
+            )
 
     keep = None
     num, den = default_rate
@@ -99,7 +109,15 @@ def temperature_rates(
             continue
         frac = (w / total_w) * target_rows / c  # fraction of s to keep
         num = min(scale, int(frac * scale))
-        rates[s] = (num, scale)
+        if num == 0 and frac > 0:
+            # a keep fraction below 1/scale would floor to (0, scale)
+            # and silently EXCLUDE the source (a huge head source can
+            # legitimately owe most of the target at a tiny fraction);
+            # keep it at its exact reciprocal rate instead — the same
+            # closed-form both engines reproduce (ceil of a double)
+            rates[s] = (1, int(math.ceil(1.0 / frac)))
+        else:
+            rates[s] = (num, scale)
     return rates
 
 
@@ -174,9 +192,11 @@ def deterministic_shuffle(
     corpus in shuffled order for free."""
     out = df.withColumn("_shuffle_key", shuffle_key(id_col, seed))
     cols = [F.col("_shuffle_key"), F.col(id_col)]
+    # `is not None`, not truthiness: an (invalid) explicit 0 must reach
+    # repartitionByRange's own error, not silently become the default
     ranged = (
         out.repartitionByRange(num_partitions, *cols)
-        if num_partitions
+        if num_partitions is not None
         else out.repartitionByRange(*cols)  # spark.sql.shuffle.partitions
     )
     return ranged.sortWithinPartitions("_shuffle_key", id_col).drop(

@@ -144,6 +144,47 @@ def _seed_broadcast(df: DataFrame, seed: dict | None):
     return df.sparkSession.sparkContext.broadcast(seed)
 
 
+def _make_apply(
+    id_col: str,
+    text_col: str,
+    out_col: str,
+    n_col: str,
+    seed_bc,
+    cache_max: int,
+    segment_word,
+):
+    """The shared mapInPandas apply loop for both tokenize flavors
+    (token strings / token ids — they differ ONLY in ``segment_word``
+    and output column names, and the cache policy must never fork
+    between them): seed lookup → per-partition cache with overflow
+    clear → segment → extend."""
+    import pandas as pd
+
+    def run(batches):
+        seed: dict = seed_bc.value if seed_bc else {}
+        cache: dict = {}
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                doc: list = []
+                for w in _py_words(text):
+                    seg = seed.get(w)
+                    if seg is None:
+                        seg = cache.get(w)
+                    if seg is None:
+                        if len(cache) >= cache_max:
+                            cache.clear()
+                        seg = segment_word(w)
+                        cache[w] = seg
+                    doc.extend(seg)
+                ids.append(i)
+                toks.append(doc)
+                ns.append(len(doc))
+            yield pd.DataFrame({id_col: ids, out_col: toks, n_col: ns})
+
+    return run
+
+
 def bpe_tokenize(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -164,7 +205,6 @@ def bpe_tokenize(
     every partition starts with the Zipf head pre-segmented instead of
     re-deriving it per partition per executor — train once, broadcast
     everywhere. The seed is immune to the overflow ``cache.clear()``."""
-    import pandas as pd
     from pyspark.sql import types as T
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -180,30 +220,10 @@ def bpe_tokenize(
         T.StructField("n_bpe", T.IntegerType()),
     ])
 
-    def run(batches):
-        seed: dict[str, list[str]] = seed_bc.value if seed_bc else {}
-        cache: dict[str, list[str]] = {}
-        for pdf in batches:
-            ids, toks, ns = [], [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
-                doc_tokens: list[str] = []
-                for w in _py_words(text):
-                    seg = seed.get(w)
-                    if seg is None:
-                        seg = cache.get(w)
-                    if seg is None:
-                        if len(cache) >= cache_max:
-                            cache.clear()
-                        seg = _segment(w, ranks)
-                        cache[w] = seg
-                    doc_tokens.extend(seg)
-                ids.append(i)
-                toks.append(doc_tokens)
-                ns.append(len(doc_tokens))
-            yield pd.DataFrame(
-                {id_col: ids, out_col: toks, "n_bpe": ns}
-            )
-
+    run = _make_apply(
+        id_col, text_col, out_col, "n_bpe", seed_bc, cache_max,
+        lambda w: _segment(w, ranks),
+    )
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
@@ -257,7 +277,6 @@ def bpe_tokenize_ids(
     shape the validation engine consumes. Unknown tokens map to id 0.
     Word split + cache + ``seed_words`` policy identical to
     :func:`bpe_tokenize`."""
-    import pandas as pd
     from pyspark.sql import types as T
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -274,29 +293,10 @@ def bpe_tokenize_ids(
         T.StructField("n_tok", T.IntegerType()),
     ])
 
-    def run(batches):
-        seed: dict[str, list[int]] = seed_bc.value if seed_bc else {}
-        cache: dict[str, list[int]] = {}
-        for pdf in batches:
-            ids, toks, ns = [], [], []
-            for i, text in zip(pdf[id_col], pdf[text_col]):
-                doc: list[int] = []
-                for w in _py_words(text):
-                    seg = seed.get(w)
-                    if seg is None:
-                        seg = cache.get(w)
-                    if seg is None:
-                        if len(cache) >= cache_max:
-                            cache.clear()
-                        seg = [
-                            vocab.get(s, 0) for s in _segment(w, ranks)
-                        ]
-                        cache[w] = seg
-                    doc.extend(seg)
-                ids.append(i)
-                toks.append(doc)
-                ns.append(len(doc))
-            yield pd.DataFrame({id_col: ids, "tokens": toks, "n_tok": ns})
+    run = _make_apply(
+        id_col, text_col, "tokens", "n_tok", seed_bc, cache_max,
+        lambda w: [vocab.get(s, 0) for s in _segment(w, ranks)],
+    )
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
@@ -400,14 +400,19 @@ def bpe_tokenize_ids_join(
     )
     # docs with no words (empty/NULL text) vanish at the explode; left
     # join restores them with an empty token array, matching the
-    # in-place path's output exactly
+    # in-place path's output exactly. The join is NULL-SAFE: a (single)
+    # NULL-id row regroups under the NULL key, and plain equality would
+    # never match it back — silently emitting [] where the row-wise
+    # in-place path tokenizes normally
+    base = df.select(id_col)
     return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
+        base.join(
+            per_doc, base[id_col].eqNullSafe(per_doc[id_col]), "left"
+        )
         .select(
-            id_col,
+            base[id_col],
             F.coalesce(
-                F.col("tokens"), F.array().cast("array<int>")
+                per_doc["tokens"], F.array().cast("array<int>")
             ).alias("tokens"),
         )
         .withColumn("n_tok", F.size("tokens").cast("int"))

@@ -116,11 +116,16 @@ class CurateResult:
 
 
 def _tokens_expr(text_col: str, vocab: int):
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-    )
+    # the SAME split expression as token counting and BPE training
+    # (operators/text._words) so the three can never disagree on word
+    # boundaries; empty words are filtered BEFORE hashing — split("")
+    # yields [""], which would otherwise fabricate one phantom token for
+    # whitespace-only docs and defeat chunk_tokens' empty-doc filter
+    from .operators.text import _words
+
     return F.transform(
-        words, lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int")
+        F.filter(_words(text_col), lambda w: w != ""),
+        lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int"),
     )
 
 
@@ -277,7 +282,22 @@ def curate(
         )
 
     # 4. quality gate (pure codegen filters; optionally a learned LR
-    #    score over the same features — still zero Python on the rows)
+    #    score over the same features — still zero Python on the rows).
+    #    Fail loud on column collisions: with_quality withColumn-replaces
+    #    these names, and select(*docs.columns) below would then
+    #    silently propagate the recomputed heuristics under the user's
+    #    column names
+    _QUALITY_COLS = {
+        "n_words", "punct_ratio", "stopword_ratio", "mean_word_len",
+        "quality_score",
+    }
+    clash = _QUALITY_COLS & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"curate reserves quality feature column(s) {sorted(clash)}; "
+            "rename them in the input (they would be silently "
+            "overwritten by the quality stage)"
+        )
     q = with_quality(cur, cfg.text_col)
     keep = (F.col("punct_ratio") <= cfg.max_punct_ratio) & (
         F.length(cfg.text_col) >= cfg.min_chars
@@ -306,11 +326,13 @@ def curate(
             "sampled",
         )
 
-    # 6. redaction + tokenize + chunk
+    # 6. redaction + tokenize + chunk (group_col is NOT selected here:
+    #    chunk_tokens keeps only id/chunk columns, and requiring it
+    #    would crash corpora without a source column even though only
+    #    the optional sampling stage above actually uses it)
     red = with_redactions(cur, cfg.text_col)
     tok = red.select(
         F.col(cfg.id_col),
-        F.col(cfg.group_col),
         _tokens_expr("text_redacted", cfg.vocab_size).alias("tokens"),
     )
     chunks = stage(

@@ -788,3 +788,48 @@ def test_split_corpus_null_and_empty_edge_cases(spark):
         ).collect()
     }
     assert keys["y"] is None and keys["x"] is not None
+
+
+def test_review_fixes_sampling_and_pipeline(spark):
+    """Round-4 second review pass: (a) temperature_rates keeps a source
+    whose exact fraction is below 1/scale at its reciprocal rate instead
+    of silently excluding it; (b) stratified_sample rejects zero/negative
+    denominators loudly; (c) whitespace-only docs produce NO phantom
+    chunk; (d) curate works on corpora WITHOUT a source column when
+    sampling is off; (e) reserved quality column names fail loud."""
+    from polars_genson_spark.operators.sample import (
+        stratified_sample,
+        temperature_rates,
+    )
+    from polars_genson_spark.pipeline import CurateConfig, curate
+
+    # (a) head source owes ~all of the target at frac 1e-7 < 1/scale
+    rates = temperature_rates(
+        {"head": 10**12, "mid": 10**9}, target_rows=10**5, temperature=1.0
+    )
+    num, den = rates["head"]
+    assert num == 1 and den > 10**6  # kept, at ~1-in-1/frac
+    assert rates["mid"][0] >= 0
+
+    # (b) fail loud on a zero denominator
+    df = spark.createDataFrame(
+        [(1, "web"), (2, "web")], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="denom"):
+        stratified_sample(df, rates={"web": (1, 0)})
+
+    # (c)+(d) sourceless corpus with a whitespace-only doc: no crash, no
+    # phantom 1-token chunk (the doc passes the length gate at 10 chars)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog here"),
+         (2, " " * 10)],
+        "doc_id long, text string",
+    )
+    res = curate(docs, cfg=CurateConfig(near_dup=False, chunk_size=8))
+    assert res.stage_counts["quality"] == 2  # both pass the gate
+    assert {r["doc_id"] for r in res.chunks.collect()} == {1}
+
+    # (e) reserved quality feature name collides -> loud error
+    bad = docs.withColumn("quality_score", F.lit(0.99))
+    with pytest.raises(ValueError, match="reserves"):
+        curate(bad, cfg=CurateConfig(near_dup=False))

@@ -267,3 +267,35 @@ def test_driver_bpe_roundtrip_excludes_literal_marker(spark):
     assert out.count() == con.execute(
         f"SELECT count(*) FROM ({sql})"
     ).fetchone()[0]
+
+
+def test_join_apply_null_id_parity(spark):
+    """A single NULL-id row must tokenize identically through both apply
+    paths (the restore join is null-safe); two NULL-id rows hit the
+    duplicate-id guard (they regroup together)."""
+    from polars_genson_spark.operators.tokenizer import (
+        bpe_tokenize_ids,
+        bpe_tokenize_ids_join,
+        train_bpe_with_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "low lower"), (1, "newest widest")],
+        "doc_id long, text string",
+    )
+    merges, vocab = train_bpe_with_vocab(df, n_merges=10)
+    a = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in bpe_tokenize_ids(df, merges, vocab).collect()
+    }
+    b = {
+        r["doc_id"]: (r["tokens"], r["n_tok"])
+        for r in bpe_tokenize_ids_join(df, merges, vocab).collect()
+    }
+    assert a == b and a[None][1] > 0
+
+    two_nulls = spark.createDataFrame(
+        [(None, "a b"), (None, "c d")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="unique"):
+        bpe_tokenize_ids_join(two_nulls, merges, vocab)
