@@ -59,10 +59,27 @@ def save_manifest(run_dir: str, manifest: dict[str, Any]) -> str:
     return path
 
 
+# Fields with NO effect on verdicts or recorded metrics — pure execution
+# knobs. Hashing them would invalidate every resume skip on a tuning rerun
+# (e.g. a different shuffle_partitions or the arrow histogram kernel),
+# revalidating the whole corpus even though no check rule changed.
+_PERF_ONLY_FIELDS = frozenset(
+    {
+        "shuffle_partitions",
+        "salt_buckets",
+        "hist_impl",
+        "repartition_by_range",
+        "max_violation_examples",  # bounds the example WRITE, not counts
+    }
+)
+
+
 def config_fingerprint(cfg) -> str:
     """Stable digest of the check-relevant config: resume must NOT skip
     partitions validated under DIFFERENT rules (a rerun with stricter
-    --max-seq-len would otherwise carry forward stale 'passed' verdicts)."""
+    --max-seq-len would otherwise carry forward stale 'passed' verdicts).
+    Perf-only knobs (``_PERF_ONLY_FIELDS``) are excluded — they change
+    how the plan executes, never what it computes."""
     import dataclasses
     import hashlib
     import json as _json
@@ -70,6 +87,7 @@ def config_fingerprint(cfg) -> str:
     d = {
         k: (sorted(v) if isinstance(v, (set, frozenset)) else v)
         for k, v in dataclasses.asdict(cfg).items()
+        if k not in _PERF_ONLY_FIELDS
     }
     return hashlib.sha256(
         _json.dumps(d, sort_keys=True, default=str).encode()
@@ -83,18 +101,24 @@ def plan_resume(
 ) -> tuple[list[str], list[str]]:
     """Split partitions into (to_validate, to_skip) vs a prior manifest.
     A changed config fingerprint invalidates every skip."""
+    # None-safe ordering throughout: a NULL source is a legal partition
+    # key (it fingerprints and resumes like any other) and must not
+    # TypeError against string keys
+    none_safe = lambda s: (s is None, s or "")  # noqa: E731
     if not previous:
-        return sorted(fingerprints), []
+        return sorted(fingerprints, key=none_safe), []
     # a manifest with NO config_fp (pre-upgrade) must also invalidate the
     # skips: we cannot prove its verdicts were produced under the current
     # rules, and carrying forward stale 'passed' verdicts is exactly what
     # the fingerprint exists to prevent
     if config_fp is not None and previous.get("config_fp") != config_fp:
-        return sorted(fingerprints), []
+        return sorted(fingerprints, key=none_safe), []
     prev_fps = previous.get("fingerprints", {})
     prev_parts = previous.get("partitions", {})
     todo, skip = [], []
-    for source, fp in sorted(fingerprints.items()):
+    for source, fp in sorted(
+        fingerprints.items(), key=lambda kv: none_safe(kv[0])
+    ):
         if (
             str(source) in prev_fps
             and int(prev_fps[str(source)]) == fp

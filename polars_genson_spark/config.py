@@ -81,8 +81,8 @@ class ValidationConfig:
     n_tok_col: str = "n_tok"
     source_col: str = "source"
 
-    # Check toggles
-    check_stats: bool = True
+    # Check toggles (per-source stats always run — they are the verdict
+    # table's backbone, not a separable check)
     check_uniqueness: bool = True
     check_referential: bool = True
     check_consistency: bool = True  # n_tok == size(tokens)
@@ -108,7 +108,11 @@ class ValidationConfig:
     min_seq_len: int = 0
     drift_alpha: float = 0.01  # chi-square p-value threshold
     ks_threshold: float = 0.15  # KS D-statistic threshold
-    max_null_rate: float = 0.0  # any null doc_id/tokens fails the partition
+    # max tolerated null-doc_id fraction per partition (0.0 = any null
+    # fails); enforced in the verdict pass criterion independently of the
+    # row-level consistency check, so relaxing check_consistency does not
+    # silently waive the null budget
+    max_null_rate: float = 0.0
     hll_rsd: float = 0.02  # approx_count_distinct relative std dev
     bloom_fpp: float = 0.01
     max_violation_examples: int = 1000

@@ -116,7 +116,15 @@ def run_validation(
     metrics: dict[str, dict[str, Any]] = {}
     summary: dict[str, Any] = {}
     if todo:
-        subset = corpus.where(F.col(cfg.source_col).isin([str(s) for s in todo]))
+        # NULL is a legal source partition: isin() never matches NULL (and
+        # str(None) would corrupt real values), so it gets its own branch
+        named = [s for s in todo if s is not None]
+        cond = (
+            F.col(cfg.source_col).isin(named) if named else F.lit(False)
+        )
+        if any(s is None for s in todo):
+            cond = cond | F.col(cfg.source_col).isNull()
+        subset = corpus.where(cond)
         # drift baseline stays the FULL corpus on partial revalidation:
         # each source's chi²/KS/PSI is measured against "the rest", and
         # a subset-sized rest would disagree with the from-scratch run
@@ -131,7 +139,22 @@ def run_validation(
             for k, v in summary["per_partition"].items()
         }
         if write_outputs:
-            report.violations.write.mode("overwrite").parquet(
+            viol_out = report.violations
+            if cfg.max_violation_examples:
+                # bound the EXAMPLES written per (source, check) — a
+                # corpus-sized violation set (wrong tokenizer, every row
+                # out of range) must not turn the report write into a
+                # second copy of the corpus. The verdict COUNTS above are
+                # exact: they were aggregated from the full frame.
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy("source", "check").orderBy("doc_id")
+                viol_out = (
+                    viol_out.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= cfg.max_violation_examples)
+                    .drop("_rn")
+                )
+            viol_out.write.mode("overwrite").parquet(
                 os.path.join(run_dir, "violations.parquet")
             )
             report.verdicts.write.mode("overwrite").parquet(

@@ -165,12 +165,21 @@ def bloom_prefilter(
     expected_items: int | None = None,
     fpp: float = 0.01,
 ) -> DataFrame:
-    """Keep only rows whose ``column`` is NOT (probably) in ``allowed`` —
+    """Keep only rows whose ``column`` is definitely NOT in ``allowed`` —
     the Bloom-filter prefilter for referential checks against dims too
-    large to broadcast-join cheaply. False positives of the filter are
-    candidate *matches* and get dropped, so the output is a subset of the
-    input that still contains every true violation; chase it with the
-    exact anti-join.
+    large to broadcast-join cheaply.
+
+    Contract (Bloom has no false NEGATIVES, so ``might_contain=False`` ⇒
+    definitely absent): every row this returns is a TRUE violation, but a
+    true violation is *missed* with probability ≈ ``fpp`` (its key
+    false-positives as present and is dropped). The output is therefore a
+    ≈(1−fpp) sample of the violation set — an approximate check that
+    trades completeness for never shuffling the fact table against a
+    too-big-to-broadcast dim. Use :func:`referential_violations` (exact
+    anti-join) when completeness is required, or lower ``fpp`` (memory
+    grows ~1.44·log2(1/fpp) bits/key) to tighten the miss rate. The
+    missed rows cannot be recovered from this output by any downstream
+    join — they are indistinguishable from genuine matches here.
     """
     import numpy as np
 
@@ -278,9 +287,14 @@ def drift_from_histogram(
 ) -> list[dict]:
     """Driver-side drift tests on (source, bucket, cnt) rows.
 
-    For each source: chi² of its bucket counts against the pooled
-    distribution of all *other* sources, plus the KS D-statistic between
-    the empirical CDFs. Returns one dict per source.
+    For each source: the full 2×B chi² homogeneity test of (source row,
+    rest row) — expected cell counts from the pooled marginals, BOTH cells
+    summed — plus the KS D-statistic between the empirical CDFs. Summing
+    only the source cells (an earlier version) silently diluted drift for
+    a dominant source: with 99% of the mass, e_s ≈ o_s by construction and
+    the statistic stayed near zero however far the source drifted, while
+    the rest-row cells (where the deviation actually shows) went uncounted.
+    Returns one dict per source.
     """
     cfg = cfg or ValidationConfig()
     counts: dict[str, dict[int, int]] = {}
@@ -291,9 +305,16 @@ def drift_from_histogram(
     all_buckets = sorted({b for d in counts.values() for b in d})
     totals = {s: sum(d.values()) for s, d in counts.items()}
     grand = sum(totals.values())
+    # per-bucket pooled totals ONCE — O(S·B); recomputing the rest-count
+    # inside the source loop was O(S²·B) driver work for the same numbers
+    pooled = {
+        b: sum(d.get(b, 0) for d in counts.values()) for b in all_buckets
+    }
 
     out = []
-    for s, d in sorted(counts.items()):
+    # None-safe sort: a NULL source is a legal histogram key
+    for s in sorted(counts, key=lambda k: (k is None, k or "")):
+        d = counts[s]
         n_s = totals[s]
         n_rest = grand - n_s
         if n_s == 0 or n_rest == 0:
@@ -311,13 +332,14 @@ def drift_from_histogram(
         eps = 1e-6
         for b in all_buckets:
             o_s = d.get(b, 0)
-            o_r = sum(counts[t].get(b, 0) for t in counts if t != s)
-            tot_b = o_s + o_r
+            tot_b = pooled[b]
+            o_r = tot_b - o_s
             if tot_b == 0:
                 continue
             e_s = tot_b * n_s / grand
-            if e_s > 0:
-                chi2 += (o_s - e_s) ** 2 / e_s
+            e_r = tot_b * n_rest / grand
+            if e_s > 0 and e_r > 0:
+                chi2 += (o_s - e_s) ** 2 / e_s + (o_r - e_r) ** 2 / e_r
                 dof += 1
             cdf_s += o_s / n_s
             cdf_r += o_r / n_rest

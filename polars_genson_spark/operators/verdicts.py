@@ -32,6 +32,17 @@ from .checks import consistency_reason_expr, drift_from_histogram
 from .stats import token_id_histogram, token_length_histogram
 
 
+def _nullsafe_broadcast_left(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """Broadcast left join that also matches NULL keys. A plain equi-join
+    never matches NULL = NULL, so a NULL-source group's violation counts
+    (and drift row) would come back null, fillna() would zero them, and a
+    partition with real violations would be reported as passed."""
+    r = right.withColumnRenamed(key, "_rkey")
+    return left.join(
+        F.broadcast(r), F.col(key).eqNullSafe(F.col("_rkey")), "left"
+    ).drop("_rkey")
+
+
 @dataclass
 class ValidationReport:
     verdicts: DataFrame
@@ -85,6 +96,7 @@ def validate_corpus(
 
     check_ref = allowed_sources is not None and cfg.check_referential
     check_dup = exact_duplicates and cfg.check_uniqueness
+    check_cons = cfg.check_consistency
 
     # ---- consistency + referential: ONE corpus scan ----
     # A row may violate both checks; array+explode emits one violation row
@@ -100,15 +112,17 @@ def validate_corpus(
             c(cfg.source_col), F.lit(True).alias("_src_ok")
         ).dropDuplicates([cfg.source_col])
         marked = df.join(F.broadcast(marker), cfg.source_col, "left")
-    viol_structs = [
-        F.when(
-            cons_reason.isNotNull(),
-            F.struct(
-                F.lit("consistency").alias("check"),
-                cons_reason.alias("reason"),
-            ),
+    viol_structs = []
+    if check_cons:
+        viol_structs.append(
+            F.when(
+                cons_reason.isNotNull(),
+                F.struct(
+                    F.lit("consistency").alias("check"),
+                    cons_reason.alias("reason"),
+                ),
+            )
         )
-    ]
     if check_ref:
         viol_structs.append(
             F.when(
@@ -119,19 +133,21 @@ def validate_corpus(
                 ),
             )
         )
-    viol_arr = F.filter(
-        F.array(*viol_structs), lambda x: x.isNotNull()
-    )
-    row_viol = (
-        marked.where(F.size(viol_arr) > 0)
-        .select(
-            c(cfg.doc_id_col).alias("doc_id"),
-            c(cfg.source_col).alias("source"),
-            F.explode(viol_arr).alias("v"),
+    violation_frames: list[DataFrame] = []
+    if viol_structs:
+        viol_arr = F.filter(
+            F.array(*viol_structs), lambda x: x.isNotNull()
         )
-        .select("v.check", "doc_id", "source", "v.reason")
-    )
-    violation_frames: list[DataFrame] = [row_viol]
+        row_viol = (
+            marked.where(F.size(viol_arr) > 0)
+            .select(
+                c(cfg.doc_id_col).alias("doc_id"),
+                c(cfg.source_col).alias("source"),
+                F.explode(viol_arr).alias("v"),
+            )
+            .select("v.check", "doc_id", "source", "v.reason")
+        )
+        violation_frames.append(row_viol)
 
     # ---- exact duplicates: one wide shuffle, sources carried along ----
     if check_dup:
@@ -151,21 +167,35 @@ def validate_corpus(
         )
         violation_frames.append(dup_viol)
 
-    violations = violation_frames[0]
-    for vf in violation_frames[1:]:
-        violations = violations.unionByName(vf)
+    if violation_frames:
+        violations = violation_frames[0]
+        for vf in violation_frames[1:]:
+            violations = violations.unionByName(vf)
+    else:  # every row-level check disabled: empty frame, stable schema
+        doc_t = df.schema[cfg.doc_id_col].dataType.simpleString()
+        violations = spark.createDataFrame(
+            [], f"check string, doc_id {doc_t}, source string, reason string"
+        )
     violations = violations.persist()
 
     # ---- per-source violation counts from the persisted frame ----
     is_check = lambda name: (c("check") == name).cast("long")  # noqa: E731
-    count_cols = [F.sum(is_check("consistency")).alias("consistency_violations")]
+    count_cols = []
+    if check_cons:
+        count_cols.append(
+            F.sum(is_check("consistency")).alias("consistency_violations")
+        )
     if check_ref:
         count_cols.append(
             F.sum(is_check("referential")).alias("referential_violations")
         )
     if check_dup:
         count_cols.append(F.sum(is_check("uniqueness")).alias("duplicate_rows"))
-    viol_counts = violations.groupBy(c("source").alias(src)).agg(*count_cols)
+    viol_counts = (
+        violations.groupBy(c("source").alias(src)).agg(*count_cols)
+        if count_cols
+        else None
+    )
 
     # ---- drift (KB-sized rollup → driver) ----
     drift: list[dict] = []
@@ -183,15 +213,15 @@ def validate_corpus(
     else:
         drift_df = None
 
-    # ---- assemble verdicts ----
+    # ---- assemble verdicts (null-safe joins: NULL is a legal source) ----
     verdicts = base
     for extra in (viol_counts, drift_df):
         if extra is not None:
-            verdicts = verdicts.join(F.broadcast(extra), src, "left")
+            verdicts = _nullsafe_broadcast_left(verdicts, extra, src)
     zero = F.lit(0)
     verdicts = verdicts.fillna(
         {
-            "consistency_violations": 0,
+            **({"consistency_violations": 0} if check_cons else {}),
             **({"referential_violations": 0} if check_ref else {}),
             **({"duplicate_rows": 0} if check_dup else {}),
         }
@@ -201,7 +231,14 @@ def validate_corpus(
             {"drifted": False, "chi2": 0.0, "ks": 0.0, "psi_rest": 0.0}
         )
 
-    pass_expr = c("consistency_violations") == zero
+    # max_null_rate: the stats-side pass criterion — a partition whose
+    # null-doc_id fraction exceeds the budget fails even when the
+    # row-level consistency check is disabled (default 0.0 = no nulls).
+    pass_expr = (
+        c("null_doc_id") <= F.lit(cfg.max_null_rate) * c("n_rows")
+    )
+    if check_cons:
+        pass_expr = pass_expr & (c("consistency_violations") == zero)
     if check_ref:
         pass_expr = pass_expr & (c("referential_violations") == zero)
     if check_dup:
@@ -223,8 +260,11 @@ def finalise_summary(report: ValidationReport) -> dict[str, Any]:
     report.summary = {
         "partitions": len(rows),
         "all_passed": all_passed,
+        # None-safe sort: a NULL source is a legal partition key and must
+        # not TypeError against the string keys
         "failed_partitions": sorted(
-            r["source"] for r in rows if not r["passed"]
+            (r["source"] for r in rows if not r["passed"]),
+            key=lambda s: (s is None, s or ""),
         ),
         "total_rows": sum(r["n_rows"] for r in rows),
         "per_partition": {r["source"]: r for r in rows},

@@ -66,18 +66,28 @@ def stream_consistency_violations(
     )
 
 
-def stream_source_stats(
-    stream: DataFrame, cfg: ValidationConfig | None = None
-) -> DataFrame:
-    cfg = cfg or ValidationConfig()
-    return stream.groupBy(cfg.source_col).agg(
+def _stats_aggs(cfg: ValidationConfig) -> list:
+    """The ONE per-source stats aggregate list, shared by the plain and
+    windowed streaming stats (a copy-pasted block once dropped
+    ``cfg.hll_rsd``, so streaming approx_distinct silently disagreed with
+    the batch path's configured precision)."""
+    return [
         F.count(F.lit(1)).alias("n_rows"),
-        F.approx_count_distinct(cfg.doc_id_col).alias("approx_distinct"),
+        F.approx_count_distinct(cfg.doc_id_col, cfg.hll_rsd).alias(
+            "approx_distinct"
+        ),
         F.sum(
             (F.col(cfg.n_tok_col) != F.size(F.col(cfg.tokens_col)))
             .cast("long")
         ).alias("n_tok_mismatch"),
-    )
+    ]
+
+
+def stream_source_stats(
+    stream: DataFrame, cfg: ValidationConfig | None = None
+) -> DataFrame:
+    cfg = cfg or ValidationConfig()
+    return stream.groupBy(cfg.source_col).agg(*_stats_aggs(cfg))
 
 
 def stream_windowed_stats(
@@ -97,14 +107,7 @@ def stream_windowed_stats(
             F.window(F.col(event_time_col), window_duration),
             F.col(cfg.source_col),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.approx_count_distinct(cfg.doc_id_col).alias("approx_distinct"),
-            F.sum(
-                (F.col(cfg.n_tok_col) != F.size(F.col(cfg.tokens_col)))
-                .cast("long")
-            ).alias("n_tok_mismatch"),
-        )
+        .agg(*_stats_aggs(cfg))
     )
 
 
@@ -114,15 +117,23 @@ def stream_running_verdicts(
     """Custom stateful operator: per-source running verdict via
     ``applyInPandasWithState``.
 
-    State = (rows_total, violations_total, batches); each micro-batch
-    folds its rows into the state with vectorized pandas ops (no per-row
-    Python), and emits the updated running verdict row for the source.
+    The violation predicate is evaluated JVM-side BEFORE the stateful op,
+    via the SAME ``consistency_reason_expr`` chain as the batch path — an
+    earlier version re-derived the checks in pandas inside ``update`` and
+    missed token_out_of_range and the seq-length bounds, exactly the
+    batch/stream divergence the shared chain exists to prevent (and the
+    third time a hand copy of that chain drifted). The stateful update
+    only folds counts: State = (rows_total, violations_total, batches).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from ..operators.checks import consistency_reason_expr
+
     cfg = cfg or ValidationConfig()
-    doc_c, tok_c, n_c = cfg.doc_id_col, cfg.tokens_col, cfg.n_tok_col
+    marked = stream.withColumn(
+        "_viol", consistency_reason_expr(cfg).isNotNull()
+    )
 
     out_schema = (
         "source string, rows_total long, violations_total long, "
@@ -134,14 +145,7 @@ def stream_running_verdicts(
         rows = viol = 0
         for pdf in pdfs:
             rows += len(pdf)
-            sizes = pdf[tok_c].str.len()
-            bad = (
-                pdf[doc_c].isna()
-                | pdf[tok_c].isna()
-                | pdf[n_c].isna()
-                | (sizes != pdf[n_c])
-            )
-            viol += int(bad.sum())
+            viol += int(pdf["_viol"].sum())
         if state.exists:
             r0, v0, b0 = state.get
         else:
@@ -158,7 +162,7 @@ def stream_running_verdicts(
             }
         )
 
-    return stream.groupBy(cfg.source_col).applyInPandasWithState(
+    return marked.groupBy(cfg.source_col).applyInPandasWithState(
         update,
         out_schema,
         state_schema,
@@ -175,15 +179,59 @@ def run_streaming_validation(
     allowed: DataFrame | None = None,
     cfg: ValidationConfig | None = None,
 ):
-    """foreachBatch incremental validation: each micro-batch runs the
-    narrow checks and hands (batch_df, batch_id) to ``on_batch`` (e.g. to
-    merge verdicts into the manifest). Returns the StreamingQuery."""
+    """foreachBatch incremental validation. Returns the StreamingQuery.
+
+    With ``on_batch`` given, each micro-batch is handed to it as
+    (batch_df, batch_id) — e.g. to run the full batch validator and merge
+    verdicts into a manifest. WITHOUT ``on_batch``, the default path runs
+    the narrow checks itself: per-source consistency-violation counts
+    (the shared batch reason chain) plus, when ``allowed`` is given, the
+    broadcast referential check — and appends the per-batch verdict
+    rollup to ``<checkpoint_dir>/batch_verdicts`` (parquet, any URI
+    scheme). An earlier version silently dropped ``allowed``/``cfg`` and
+    with on_batch=None validated nothing while still committing the
+    stream checkpoint — files were marked processed unchecked."""
     cfg = cfg or ValidationConfig()
     stream = read_corpus_stream(spark, input_dir)
+    verdicts_path = checkpoint_dir.rstrip("/") + "/batch_verdicts"
+
+    def default_on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.checks import consistency_reason_expr
+
+        src = cfg.source_col
+        marked = batch_df.withColumn(
+            "_cons", consistency_reason_expr(cfg).isNotNull().cast("long")
+        )
+        if allowed is not None:
+            marker = allowed.select(
+                F.col(src), F.lit(True).alias("_ok")
+            ).dropDuplicates([src])
+            marked = marked.join(F.broadcast(marker), src, "left")
+            ref_col = F.sum(F.col("_ok").isNull().cast("long"))
+        else:
+            ref_col = F.lit(0)
+        (
+            marked.groupBy(src)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("_cons").alias("consistency_violations"),
+                ref_col.alias("referential_violations"),
+            )
+            .withColumn(
+                "passed",
+                (F.col("consistency_violations") == 0)
+                & (F.col("referential_violations") == 0),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(verdicts_path)
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch_df, batch_id)
+        else:
+            default_on_batch(batch_df, batch_id)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -296,7 +344,11 @@ def stream_psi_drift(
             counts, total = [0] * len(buckets), 0
         idx = {b: i for i, b in enumerate(buckets)}
         for pdf in pdfs:
-            bs = (pdf[n_c].fillna(0) // width).astype(int)
+            # nulls count toward the total ONLY (like out-of-range
+            # lengths): fillna(0) would pile them into bucket 0 — a real,
+            # normally-populated reference bucket — moving psi in a
+            # direction unrelated to the corruption
+            bs = (pdf[n_c].dropna() // width).astype(int)
             total += len(pdf)
             for b, c in bs.value_counts().items():
                 i = idx.get(int(b))
