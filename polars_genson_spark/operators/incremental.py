@@ -36,7 +36,6 @@ from ..functions.rewrite import postprocess_schema
 from .infer import (
     SchemaInferenceError,
     _apply_schema_uri,
-    partition_summaries,
 )
 
 STATE_NAME = "_schema_state.json"
@@ -73,12 +72,12 @@ def save_state(state_dir: str, state: dict[str, Any]) -> str:
 
 
 def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
-    """Distinct file names backing ``path`` (via the input_file_name of a
-    zero-row-cost metadata scan)."""
-    df = spark.read.parquet(path).select(
-        F.input_file_name().alias("f")
-    ).distinct()
-    return sorted(r["f"] for r in df.collect())
+    """Distinct file names backing ``path``, from the file index
+    (``DataFrame.inputFiles``) — NO Spark job. The previous
+    implementation ran input_file_name() + distinct + collect, a full
+    corpus scan whose cost grew with TOTAL data size on every
+    incremental run — the exact rescan the module contract forbids."""
+    return sorted(spark.read.parquet(path).inputFiles())
 
 
 def infer_incremental(
@@ -113,19 +112,31 @@ def infer_incremental(
     new_files = [f for f in current if f not in known]
     reused = [f for f in current if f in known]
 
-    for f in new_files:
-        df = spark.read.parquet(f).select(column)
-        parts = partition_summaries(df, column, config)
-        err = next((p["error"] for p in parts if p["error"]), None)
-        if err:
-            raise SchemaInferenceError(err)
-        node = S.new_summary()
-        for p in parts:  # pid order: deterministic
-            S.merge(node, p["summary"])
-        known[f] = {
-            "summary": node,
-            "processed": sum(p["processed"] for p in parts),
-        }
+    if new_files:
+        # ONE batched job for ALL new files (per-file attribution via
+        # input_file_name, which matches inputFiles() byte-for-byte):
+        # the previous per-file loop launched 2+ serial Spark jobs per
+        # file — a config change over 10k files meant 10k sequential
+        # jobs instead of one. The collected per-file summaries are the
+        # same KB-sized objects the state file stores anyway.
+        df = (
+            spark.read.parquet(*new_files)
+            .withColumn("_file", F.input_file_name())
+            .select("_file", column)
+        )
+        partials = _grouped_partials(df, column, "_file", config)
+        for r in _merge_summaries(partials).collect():
+            if r["error"]:
+                raise SchemaInferenceError(r["error"])
+            known[r["group"]] = {
+                "summary": json.loads(r["summary"]),
+                "processed": int(r["processed"]),
+            }
+        # a new file with zero rows emits no partial row at all — it
+        # still needs (empty) state or the merge loop below KeyErrors
+        for f in new_files:
+            if f not in known:
+                known[f] = {"summary": S.new_summary(), "processed": 0}
 
     # drop state for files no longer present
     for f in list(known):
@@ -159,21 +170,15 @@ def infer_incremental(
     )
 
 
-def infer_json_schema_by_group(
-    df: DataFrame,
-    column: str,
-    group_col: str,
-    config: InferenceConfig | None = None,
+def _grouped_partials(
+    df: DataFrame, column: str, group_col: str, cfg: InferenceConfig
 ) -> DataFrame:
-    """One merged JSON Schema per group: (group, schema_json, processed).
-
-    Two-level fold, NOT a whole-group ``applyInPandas`` (which would
-    materialise each group's rows in one pandas frame — unbounded at
-    scale): a partition-local fold emits one (group, summary) row per
-    group per partition, then the per-group merge runs over those
-    KB-sized summaries only. The shuffle carries summaries, never
-    documents — the groupwise face of ``infer_json_schema``."""
-    cfg = config or InferenceConfig()
+    """Partition-local summary fold keyed by ``group_col``: one
+    (group, summary, processed, error) row per group per partition.
+    The group field keeps the input column's dtype — hard-coding
+    ``group string`` (the old shape) crashed Arrow conversion for any
+    non-string group column (long shard ids, dates)."""
+    grp_t = df.schema[group_col].dataType.simpleString()
 
     def partial_fold(
         batches: Iterator[pd.DataFrame],
@@ -203,10 +208,18 @@ def infer_json_schema_by_group(
                 }
             )
 
-    partials = df.select(F.col(group_col), F.col(column)).mapInPandas(
+    return df.select(F.col(group_col), F.col(column)).mapInPandas(
         partial_fold,
-        schema="group string, summary string, processed long, error string",
+        schema=f"group {grp_t}, summary string, processed long, "
+        "error string",
     )
+
+
+def _merge_summaries(partials: DataFrame) -> DataFrame:
+    """Per-group merge of the KB-sized partial summaries — output stays
+    at the SUMMARY level (the monoid state), for callers that persist it
+    (incremental state) rather than finalising a schema."""
+    grp_t = partials.schema["group"].dataType.simpleString()
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         node = S.new_summary()
@@ -222,28 +235,67 @@ def infer_json_schema_by_group(
             if key not in seen:
                 seen.add(key)
                 S.merge(node, parsed)
-        if error is not None:
-            schema_json = None
-        else:
-            schema = S.to_schema(node)
-            postprocess_schema(schema, cfg)
-            schema = _apply_schema_uri(schema, cfg)
-            schema_json = json.dumps(schema, sort_keys=True)
         return pd.DataFrame(
             {
                 "group": [pdf["group"].iloc[0]],
-                "schema_json": [schema_json],
+                "summary": [json.dumps(node)],
                 "processed": [processed],
                 "error": [error],
             }
         )
 
-    out = partials.groupBy("group").applyInPandas(
+    return partials.groupBy("group").applyInPandas(
         merge_group,
-        schema="group string, schema_json string, processed long, "
+        schema=f"group {grp_t}, summary string, processed long, "
         "error string",
     )
-    return out.withColumnRenamed("group", group_col)
+
+
+def infer_json_schema_by_group(
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    config: InferenceConfig | None = None,
+) -> DataFrame:
+    """One merged JSON Schema per group: (group, schema_json, processed).
+
+    Two-level fold, NOT a whole-group ``applyInPandas`` (which would
+    materialise each group's rows in one pandas frame — unbounded at
+    scale): a partition-local fold emits one (group, summary) row per
+    group per partition, then the per-group merge runs over those
+    KB-sized summaries only. The shuffle carries summaries, never
+    documents — the groupwise face of ``infer_json_schema``. The group
+    column keeps its dtype (string, long, date, ...)."""
+    cfg = config or InferenceConfig()
+    partials = _grouped_partials(df, column, group_col, cfg)
+    merged = _merge_summaries(partials)
+    grp_t = merged.schema["group"].dataType.simpleString()
+
+    def finalise(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            if row["error"]:
+                out.append(None)
+                continue
+            schema = S.to_schema(json.loads(row["summary"]))
+            postprocess_schema(schema, cfg)
+            schema = _apply_schema_uri(schema, cfg)
+            out.append(json.dumps(schema, sort_keys=True))
+        return pd.DataFrame(
+            {
+                "group": pdf["group"],
+                "schema_json": out,
+                "processed": pdf["processed"],
+                "error": pdf["error"],
+            }
+        )
+
+    final = merged.mapInPandas(
+        lambda batches: (finalise(p) for p in batches),
+        schema=f"group {grp_t}, schema_json string, processed long, "
+        "error string",
+    )
+    return final.withColumnRenamed("group", group_col)
 
 
 def schema_drift(
@@ -265,8 +317,21 @@ def schema_drift(
     downstream parse failure.
     """
     per = infer_json_schema_by_group(df, column, window_col, config)
+
+    # windows must diff in their NATURAL order: lexicographic string sort
+    # put '10' before '9', so the 9→10 transition was reported backwards.
+    # Digit-only labels (hour/batch numbers) sort numerically; everything
+    # else (dates, names) keeps the string order; native numerics pass
+    # through the dtype-preserving by_group fold and sort numerically.
+    def _window_key(w):
+        if isinstance(w, (int, float)):
+            return (0, float(w), "")
+        s = str(w)
+        return (0, float(s), "") if s.isdigit() else (1, 0.0, s)
+
     rows = sorted(
-        (r[window_col], r["schema_json"]) for r in per.collect()
+        ((r[window_col], r["schema_json"]) for r in per.collect()),
+        key=lambda t: _window_key(t[0]),
     )
     out = []
     prev_props: dict | None = None

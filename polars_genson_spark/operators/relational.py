@@ -11,6 +11,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _reject_reserved(
+    op: str, reserved: set[str], *frames: DataFrame
+) -> None:
+    """Working/output column names must not collide with user data: a
+    silent ``withColumn`` overwrite returns the internal value under the
+    user's name (or a later ``drop`` deletes the user's column) with no
+    error at all. Fail loud instead."""
+    for df in frames:
+        clash = reserved & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"{op}: input column(s) {sorted(clash)} collide with "
+                "internal working/output names — rename them first"
+            )
+
+
+def _is_orderable(dt) -> bool:
+    """Spark cannot ORDER BY map-containing types (AnalysisException)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -30,12 +58,19 @@ def asof_join(
     ``last(..., ignorenulls=True)`` over (on, ts). One shuffle on the key,
     window cost O(n log n) per key — no |L|×|R| candidate explosion, so it
     survives 100 TB where an inequality join would not. Right-side ts ties
-    resolve to the row that sorts LAST by the payload struct (deterministic:
-    the struct starts with right_ts and the caller's payload columns).
+    resolve to the row that sorts LAST by (right_ts, orderable payload
+    columns) — deterministic whenever at least one orderable payload
+    column distinguishes the tied rows; map-typed payload columns ride
+    along but cannot participate in the tie-break (Spark cannot sort
+    maps).
 
     ``tolerance`` (e.g. ``"INTERVAL 1 HOUR"``): matches older than
     ``left_ts - tolerance`` are nulled out, like pandas merge_asof.
     """
+    _reject_reserved(
+        "asof_join", {"_ts", "_side", "_payload", "_match", "_tie"},
+        left, right,
+    )
     right_payload = right_payload or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -47,27 +82,44 @@ def asof_join(
         F.col(right_ts).alias("_ats"),
         *[F.col(c) for c in right_payload],
     )
+    # the equal-ts tie-break orders by the payload, but ORDER BY rejects
+    # map-containing types — build the tie key from the orderable payload
+    # columns only (a map column still rides in the payload itself)
+    orderable = [
+        c for c in right_payload
+        if _is_orderable(right.schema[c].dataType)
+    ]
+    tie = F.struct(
+        F.col(right_ts).alias("_ats"),
+        *[F.col(c) for c in orderable],
+    )
     r = right.select(
         F.col(on).alias(on),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         payload.alias("_payload"),
+        tie.alias("_tie"),
     )
-    l = left.withColumn("_ts", F.col(left_ts)).withColumn(
-        "_side", F.lit(0)
-    ).withColumn("_payload", F.lit(None).cast(r.schema["_payload"].dataType))
+    l = (
+        left.withColumn("_ts", F.col(left_ts))
+        .withColumn("_side", F.lit(0))
+        .withColumn(
+            "_payload", F.lit(None).cast(r.schema["_payload"].dataType)
+        )
+        .withColumn("_tie", F.lit(None).cast(r.schema["_tie"].dataType))
+    )
 
     unioned = l.unionByName(
         r.select(*[F.lit(None).cast(l.schema[c].dataType).alias(c)
                    for c in left.columns if c not in (on,)],
-                 on, "_ts", "_side", "_payload"),
+                 on, "_ts", "_side", "_payload", "_tie"),
         allowMissingColumns=False,
     )
     # right rows sort BEFORE left rows at equal ts (_side 1 first via desc)
     # so an exact-ts quote is visible to the same-ts trade
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_payload").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").desc(), F.col("_tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(
@@ -104,7 +156,20 @@ def sessionize(
     Two windows over the same (user, ts) sort — one shuffle total; the
     session id is the running count of session starts (deterministic,
     dense from 1 per user).
+
+    Boundary semantics vs the streaming twin
+    (streaming.validate_stream.stream_sessionize): the gap test here is
+    STRICT (``ts > prev + gap`` starts a new session), matching the SQL
+    oracle, while Spark's native ``session_window`` closes at
+    ``prev + gap`` EXCLUSIVE — an event exactly ``gap`` after the
+    previous one is the same session here but a new one there, and
+    session_end is max(ts) here vs last_event+gap there. Reconciling a
+    backfill against the stream must account for both.
     """
+    _reject_reserved(
+        "sessionize", {"_start", "session_id", "n_events",
+                       "session_start", "session_end"}, df,
+    )
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
     is_start = (
@@ -144,12 +209,16 @@ def grouped_quantiles(
     if method not in ("exact", "approx"):
         raise ValueError(f"unknown method: {method!r}")
     qs = ", ".join(repr(float(q)) for q in quantiles)
+    # backtick-quote the column (escaping embedded backticks) — a name
+    # with spaces/reserved words would fail to parse, and a name holding
+    # an expression fragment would silently compute something else
+    vq = "`" + value_col.replace("`", "``") + "`"
     if method == "approx":
         agg = F.expr(
-            f"approx_percentile({value_col}, array({qs}), {int(accuracy)})"
+            f"approx_percentile({vq}, array({qs}), {int(accuracy)})"
         )
     else:
-        agg = F.expr(f"percentile({value_col}, array({qs}))")
+        agg = F.expr(f"percentile({vq}, array({qs}))")
     out = df.groupBy(group_col).agg(agg.alias("_qs"))
     return out.select(
         group_col,
@@ -220,6 +289,7 @@ def range_join(
         raise ValueError(
             f"column collision {sorted(overlap)}: alias before joining"
         )
+    _reject_reserved("range_join", {"_bucket", "_lnum", "_rnum"}, left, right)
     lb = F.floor((lnum + F.lit(lower)) / F.lit(w)).cast("long")
     # upper bound is exclusive: a window ending exactly on a bucket edge
     # does not touch that bucket, hence the epsilon-free floor on

@@ -27,6 +27,27 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def _table_identifier(source: str) -> str | None:
+    """Explicit, environment-independent routing. Returns the catalog
+    identifier when ``source`` should go to Iceberg, else None (path).
+
+    - ``iceberg:<ident>`` forces the catalog (callers strip the prefix);
+      without the runtime the caller must RAISE, never fall back.
+    - A dotted identifier with no path separators (``db.table``,
+      ``catalog.db.table``) routes to the catalog when available.
+    - ANYTHING else — including a bare name like ``corpus_out`` — is a
+      path. The old substring heuristic classified bare names as tables
+      whenever the Iceberg jars happened to be on the classpath, so the
+      same call wrote a warehouse table in one environment and a local
+      directory in another.
+    """
+    if source.startswith("iceberg:"):
+        return source[len("iceberg:"):]
+    if "/" in source or "\\" in source or source.endswith(".parquet"):
+        return None
+    return source if "." in source else None
+
+
 def read_corpus(
     spark: SparkSession,
     source: str,
@@ -34,7 +55,7 @@ def read_corpus(
     snapshot_id: int | None = None,
 ) -> DataFrame:
     """Read the corpus from an Iceberg table (``catalog.db.table``
-    identifier) or a parquet path.
+    identifier or explicit ``iceberg:<name>``) or a parquet path.
 
     - Iceberg + ``branch``: time-travel to the named branch
       (``spark.read.option("branch", ...)``) so a validation run pins the
@@ -42,10 +63,18 @@ def read_corpus(
     - Iceberg + ``snapshot_id``: pin a snapshot instead.
     - No Iceberg runtime, or ``source`` is a path: plain parquet read of
       the identity-partitioned layout; branch/snapshot selection is not
-      available and raises rather than silently reading HEAD.
+      available and raises rather than silently reading HEAD. An explicit
+      ``iceberg:`` source also raises without the runtime — it must never
+      silently degrade to a local path.
     """
-    is_path = "/" in source or source.endswith(".parquet")
-    if not is_path and iceberg_available(spark):
+    ident = _table_identifier(source)
+    if ident is not None and source.startswith("iceberg:") and not iceberg_available(spark):
+        raise ValueError(
+            f"source {source!r} explicitly requests the Iceberg catalog "
+            "but the runtime jars are not on the classpath"
+        )
+    if ident is not None and iceberg_available(spark):
+        source = ident
         reader = spark.read
         if branch is not None:
             reader = reader.option("branch", branch)
@@ -73,10 +102,15 @@ def write_corpus_table(
     Returns the layout actually used (``"iceberg"`` or ``"parquet"``) so
     callers and tests can assert the fallback path."""
     spark = df.sparkSession
-    is_path = "/" in target or target.endswith(".parquet")
-    if not is_path and iceberg_available(spark):
+    ident = _table_identifier(target)
+    if ident is not None and target.startswith("iceberg:") and not iceberg_available(spark):
+        raise ValueError(
+            f"target {target!r} explicitly requests the Iceberg catalog "
+            "but the runtime jars are not on the classpath"
+        )
+    if ident is not None and iceberg_available(spark):
         writer = (
-            df.writeTo(target)
+            df.writeTo(ident)
             .using("iceberg")
             .partitionedBy(partition_col)
         )

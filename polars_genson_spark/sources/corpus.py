@@ -68,7 +68,11 @@ def generate_corpus(
 
     # --- n_tok: Zipf-ish in [1, MAX_TOKENS]; per-source shifted mean ---
     u = (h(F.col("id"), F.lit("len")) % 1_000_000) / 1_000_000.0
-    zipfish = (F.pow(u, F.lit(3.0)) * F.lit(MAX_TOKENS - 1)).cast("int") + 1
+    # floor(u^3 * MAX) + 1 with u < 1 spans [1, MAX_TOKENS] INCLUSIVE —
+    # multiplying by (MAX-1) (the old form) topped out at MAX-1, so the
+    # documented max-length boundary value never appeared in the fixture
+    # and an off-by-one in a downstream <=/< length check could pass CI
+    zipfish = (F.pow(u, F.lit(3.0)) * F.lit(MAX_TOKENS)).cast("int") + 1
     df = df.withColumn("true_len", zipfish)
 
     # --- tokens: deterministic per (id, position); drifted source shifts ---

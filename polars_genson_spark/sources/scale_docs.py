@@ -273,6 +273,16 @@ def generate_benchmark(
     [unique_start, unique_start + n_bench) — the n-gram decontamination
     stage must drop exactly those corpus docs (min_shared=3 trigrams is
     trivially met by a full copy)."""
+    avail = layout.n_rows - layout.unique_start
+    if n_bench > avail:
+        # silently copying nonexistent corpus docs would break the
+        # "drops exactly these" contract the closed-form stage
+        # accounting (and its tests) relies on
+        raise ValueError(
+            f"n_bench={n_bench} exceeds the corpus unique region "
+            f"({avail} rows past unique_start={layout.unique_start} of "
+            f"n_rows={layout.n_rows}); shrink n_bench or grow the corpus"
+        )
     df = spark.range(0, n_bench, 1, 4).withColumnRenamed("id", "bench_id")
     target = F.col("bench_id") + F.lit(layout.unique_start)
     n_words = (F.lit(20) + (_h(seed, F.lit("nw"), target) % F.lit(21))).cast(

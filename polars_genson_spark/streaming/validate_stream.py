@@ -272,8 +272,12 @@ def stream_sessionize(
 ) -> DataFrame:
     """Streaming gap-based sessions via Spark's native
     ``session_window`` — the streaming twin of
-    ``operators.relational.sessionize`` (same semantics: a session
-    closes after ``gap`` of user inactivity).
+    ``operators.relational.sessionize``. NOT byte-identical semantics:
+    session_window's close is ``last_event + gap`` EXCLUSIVE, so an
+    event exactly ``gap`` later starts a NEW session here but continues
+    the session in the batch operator (strict ``>`` test), and
+    session_end is ``last_event + gap`` here vs ``max(ts)`` there —
+    reconcile accordingly when comparing backfill to stream.
 
     State is per-(user, open session) and is reclaimed once the
     watermark passes the session close — bounded by active users, not
