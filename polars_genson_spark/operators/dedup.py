@@ -19,6 +19,10 @@ import logging
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# THE shared split + raw-shingle expressions (text.py) — dedup shingling,
+# tokenization, and quality stats must never diverge on normalisation
+from .text import _raw_shingles, _words
+
 log = logging.getLogger(__name__)
 
 
@@ -109,35 +113,15 @@ def drop_exact_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def _words(text_col: str):
-    return F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-    )
-
-
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
     """Distinct word n-gram shingles as an array column (JVM-side).
 
-    Built as an element-wise zip of the words array with its n-1 shifted
-    slices (n slices per DOC), not a transform over positions with a
-    slice per ELEMENT — higher-order functions run interpreted, and the
-    per-element slice+copy formulation measured 3.6x slower on the
-    sf0.1 shingle explode (5.6s → 1.6s warm for 260k shingles)."""
-    words = _words(text_col)
-    tmp = df.withColumn("_w", words)
-    w = F.col("_w")
-    k = F.greatest(F.size(w) - (n - 1), F.lit(0))
-    shingles = F.slice(w, 1, k)
-    for j in range(1, n):
-        shingles = F.zip_with(
-            shingles, F.slice(w, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    # short docs (< n words): fall back to the whole text as one shingle
-    shingles = F.when(k > 0, shingles).otherwise(
-        F.array(F.trim(F.lower(F.col(text_col))))
-    )
+    See :func:`..text._raw_shingles` for the shifted-slice construction
+    and the short-doc (< n words) whole-normalised-text fallback."""
+    tmp = df.withColumn("_w", _words(text_col))
+    shingles = _raw_shingles(F.col("_w"), n)
     return tmp.withColumn(out_col, F.array_distinct(shingles)).drop("_w")
 
 
@@ -234,6 +218,14 @@ def minhash_candidates(
     multiplied its footprint by ``bands`` and OOM'd a 10M-doc run that
     the slim layout completes comfortably.
     """
+    if bands < 1 or num_perm % bands != 0:
+        # bands > num_perm would slice EMPTY bands (every doc shares one
+        # bhash per band → a full N² cross product); a non-dividing bands
+        # silently drops the trailing permutations from banding, giving
+        # lower recall than minhash_recall_curve predicted for the params
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm}"
+        )
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
         df, id_col, text_col, shingle_n, num_perm

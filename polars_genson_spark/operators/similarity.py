@@ -195,8 +195,15 @@ def _multi_table_tagged(
 ) -> DataFrame:
     """(id, table, bucket, vec_norm) rows for L independent LSH tables —
     the multi-probe trick that turns per-table recall p into
-    1-(1-p)^L overall while keeping each self-join bucket-local."""
-    normed = with_normalized(df, vec_col)
+    1-(1-p)^L overall while keeping each self-join bucket-local.
+
+    Null vectors are dropped up front: a null signature fold yields
+    bucket 0 in EVERY table, so a corpus with even 1% null embeddings
+    would pile them into one degenerate hot cell per table (quadratic
+    pair blowup) and emit null-cosine rows that still rank into top-k."""
+    normed = with_normalized(df, vec_col).where(
+        F.col("vec_norm").isNotNull()
+    )
     for t in range(n_tables):
         normed = with_lsh_bucket(
             normed, dim, n_planes, "vec_norm", out_col=f"_b{t}", seed=seed + 101 * t
@@ -309,14 +316,20 @@ def embedding_near_duplicates(
     n_planes: int = 6,
     n_tables: int = 6,
     seed: int = 42,
+    cache_entries: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold)
     via multi-table LSH blocking — the embedding leg of the dedup suite.
     High thresholds mean tiny angles, so even few planes catch near-dups
-    with high probability per table."""
+    with high probability per table. ``cache_entries`` persists the
+    tagged table so the corpus-wide normalisation + n_tables×n_planes
+    signature computation (the dominant construction cost) runs once,
+    not once per self-join side — same treatment as :func:`lsh_topk`."""
     tagged = _multi_table_tagged(
         df, dim, n_planes, n_tables, id_col, vec_col, seed
     )
+    if cache_entries:
+        tagged = tagged.persist()
     a, b = tagged.alias("a"), tagged.alias("b")
     return (
         a.join(
@@ -365,7 +378,11 @@ def train_ivf_centroids(
             "n_centroids must be >= 2 (MLlib KMeans constraint); "
             "for a single bucket use pairwise_topk (brute force)"
         )
-    normed = with_normalized(df, vec_col)
+    # null vectors cannot train the quantizer (array_to_vector throws on
+    # null) and carry no geometry anyway
+    normed = with_normalized(df, vec_col).where(
+        F.col("vec_norm").isNotNull()
+    )
     feats = normed.select(array_to_vector("vec_norm").alias("features"))
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
     return [list(map(float, c)) for c in model.clusterCenters()]
@@ -420,8 +437,12 @@ def ivf_topk(
             df, n_centroids, vec_col, seed=seed
         )
 
-    normed = with_normalized(df, vec_col).select(
-        F.col(id_col).alias("id"), "vec_norm"
+    # null vectors can neither index nor probe (their centroid ranks are
+    # arbitrary and their cosines null) — drop them like the LSH path
+    normed = (
+        with_normalized(df, vec_col)
+        .where(F.col("vec_norm").isNotNull())
+        .select(F.col(id_col).alias("id"), "vec_norm")
     )
     ranks = _centroid_ranks(F.col("vec_norm"), centroids)
     tagged = normed.withColumn("_ranks", ranks)
@@ -538,6 +559,36 @@ def _assign_clusters_vectorized(normed_cents: list[list[float]]):
 _GRAM_BLOCK_DOUBLES = 2**23
 
 
+def _round6_gt(g, threshold: float):
+    """round(g, 6) > threshold with SPARK's rounding semantics.
+
+    ``np.round`` (binary-scaled half-even) and Spark's ``F.round``
+    (HALF_UP on the shortest decimal repr, BigDecimal.valueOf) disagree
+    on some boundary doubles (e.g. 0.1234565 → 0.123456 vs 0.123457),
+    which would let the gram and join backends produce different discard
+    sets at the threshold — breaking the pinned bit-identical parity.
+    Values further than 1e-6 from the threshold are decided identically
+    by both roundings (6-dp rounding moves a value by at most 5e-7), so
+    only the narrow band pays the exact per-element Decimal replication
+    of Spark's rule."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    hit = g > threshold + 1e-6
+    band = np.abs(g - threshold) <= 1e-6
+    if band.any():
+        q = Decimal("0.000001")
+        exact = np.array(
+            [
+                float(
+                    Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP)
+                )
+                for v in np.ravel(g[band])
+            ]
+        )
+        hit[band] = exact > threshold
+    return hit
+
+
 def _gram_discards(tagged: DataFrame, threshold: float) -> DataFrame:
     """Cluster-local discard set via one BLAS Gram matrix per cluster
     (``applyInPandas`` over ``groupBy(cluster)``) — the vectorized
@@ -593,7 +644,7 @@ def _gram_discards(tagged: DataFrame, threshold: float) -> DataFrame:
         for s in range(0, m, block):
             e = min(s + block, m)
             g = x @ x[s:e].T  # (m, e-s)
-            hit = np.round(g, 6) > threshold
+            hit = _round6_gt(g, threshold)
             # row j counts against column i=s+c only when j ranks
             # strictly before i's tie group
             mask = np.arange(m)[:, None] < tie_start[s:e][None, :]
@@ -669,9 +720,15 @@ def semantic_dedup(
     # only row 1 and choked on a leading null vector), negligible next
     # to the self-join this op runs anyway. Null vectors are allowed —
     # they can never match anything and survive with null centroid_sim.
+    # size() only inside a not-null guard: with ANSI off, size(null) is
+    # -1 (not null), which would make the probe report a phantom lo=-1
+    # and reject a corpus whose null vectors are explicitly allowed
+    _sz = F.when(
+        F.col(vec_col).isNotNull(), F.size(F.col(vec_col))
+    )
     probe = df.agg(
-        F.min(F.size(F.col(vec_col))).alias("lo"),
-        F.max(F.size(F.col(vec_col))).alias("hi"),
+        F.min(_sz).alias("lo"),
+        F.max(_sz).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     if probe["lo"] is not None and not (probe["lo"] == probe["hi"] == dim):
@@ -710,23 +767,28 @@ def semantic_dedup(
             F.col("_a.csim").alias("csim"),
         )
     else:
-        ranks = _centroid_ranks(F.col("vec_norm"), normed_cents)
-        # null vector -> null cluster (ranks over null scores would pick
-        # an arbitrary index; keep parity with the vectorized path)
-        best = F.when(
-            F.col("vec_norm").isNotNull(), F.element_at(ranks, 1)
-        )
-        sims = F.array(
+        # ONE scored array serves both outputs: the top-ranked struct
+        # carries (score, idx), so cluster AND csim come from k dot
+        # products per row, not 2k (a second sims array existed purely
+        # to re-derive the score the sort already computed)
+        scored = F.array(
             *[
-                _dot(F.col("vec_norm"), _lit_vec(c))
-                for c in normed_cents
+                F.struct(
+                    _dot(F.col("vec_norm"), _lit_vec(c)).alias("score"),
+                    F.lit(i).alias("idx"),
+                )
+                for i, c in enumerate(normed_cents)
             ]
         )
+        top = F.element_at(F.reverse(F.array_sort(scored)), 1)
+        # null vector -> null cluster/csim (ranks over null scores would
+        # pick an arbitrary index; keep parity with the vectorized path)
+        not_null = F.col("vec_norm").isNotNull()
         tagged = normed.select(
             "id",
             "vec_norm",
-            best.alias("cluster"),
-            F.element_at(sims, best + F.lit(1)).alias("csim"),
+            F.when(not_null, top["idx"]).alias("cluster"),
+            F.when(not_null, top["score"]).alias("csim"),
         )
     if cache_entries:
         tagged = tagged.persist()

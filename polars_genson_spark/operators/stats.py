@@ -28,7 +28,13 @@ def column_stats(df: DataFrame, cfg: ValidationConfig | None = None) -> DataFram
             F.min(cfg.n_tok_col).alias("min_n_tok"),
             F.max(cfg.n_tok_col).alias("max_n_tok"),
             F.round(F.avg(cfg.n_tok_col), 4).alias("avg_n_tok"),
-            F.sum(F.size(cfg.tokens_col).cast("long")).alias("total_tokens"),
+            # size() behind a not-null guard: ANSI-off size(null) = -1
+            # would silently subtract one per null-tokens row
+            F.sum(
+                F.when(
+                    c(cfg.tokens_col).isNotNull(), F.size(c(cfg.tokens_col))
+                ).cast("long")
+            ).alias("total_tokens"),
         )
     )
 
@@ -42,7 +48,9 @@ def token_length_histogram(
     shuffle at |sources| × |buckets| rows regardless of input size.
     """
     cfg = cfg or ValidationConfig()
-    bucket = (F.col(cfg.n_tok_col) / cfg.token_hist_bucket).cast("long")
+    # floor, not cast-truncation — matches the streaming PSI's pandas //
+    # on the same lengths (they diverge for negative corrupt values)
+    bucket = F.floor(F.col(cfg.n_tok_col) / cfg.token_hist_bucket)
     return (
         df.where(F.col(cfg.n_tok_col).isNotNull())
         .groupBy(F.col(cfg.source_col), bucket.alias("bucket"))
@@ -84,7 +92,12 @@ def token_id_histogram(
         return (
             exploded.groupBy(
                 src_col,
-                (F.col("tok") / width).cast("long").alias("bucket"),
+                # floor division, NOT cast-truncation: cast truncates
+                # toward zero, silently merging negative (out-of-range)
+                # ids in (-width, 0) into valid bucket 0 — and diverging
+                # from the arrow kernel's // (floor), so the two
+                # "equivalent" kernels disagreed on corrupt shards
+                F.floor(F.col("tok") / width).alias("bucket"),
             )
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

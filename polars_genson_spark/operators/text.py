@@ -21,9 +21,30 @@ BPE_ISH_PATTERN = r"\w+|[^\w\s]"
 
 
 def _words(text_col):
+    """THE word-split expression (lower, collapse \\s+, split on space) —
+    shared by tokenization, quality stats, and dedup shingling (dedup.py
+    imports it) so a tweak here cannot silently diverge the paths."""
     return F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
     )
+
+
+def _raw_shingles(w, n: int):
+    """RAW (non-distinct) word n-gram shingles from a words-array
+    expression ``w``: element-wise zip of the array with its n-1 shifted
+    slices (n slices per DOC — higher-order per-position slicing runs
+    interpreted and measured 3.6x slower). Short docs (< n words) fall
+    back to the whole normalised text (``array_join(w, ' ')``) as one
+    shingle — the re-join applies the same \\s+ collapse as every other
+    shingle. Shared by dedup.with_shingles and repetition_stats; two
+    hand copies once diverged on exactly that fallback normalisation."""
+    k = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    sh = F.slice(w, 1, k)
+    for j in range(1, n):
+        sh = F.zip_with(
+            sh, F.slice(w, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(k > 0, sh).otherwise(F.array(F.array_join(w, " ")))
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -265,18 +286,8 @@ def repetition_stats(
     RAW (non-distinct) shingles via the shifted-slice zip; explode →
     (doc, shingle) counts with map-side partial aggregation → per-doc
     max/sum. The shuffle is bounded by distinct (doc, shingle) pairs."""
-    words = _words(text_col)
-    tmp = df.withColumn("_w", words)
-    w = F.col("_w")
-    k = F.greatest(F.size(w) - (n - 1), F.lit(0))
-    sh = F.slice(w, 1, k)
-    for j in range(1, n):
-        sh = F.zip_with(
-            sh, F.slice(w, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
-        )
-    sh = F.when(k > 0, sh).otherwise(
-        F.array(F.trim(F.lower(F.col(text_col))))
-    )
+    tmp = df.withColumn("_w", _words(text_col))
+    sh = _raw_shingles(F.col("_w"), n)
     exploded = tmp.select(
         F.col(id_col), F.explode(sh).alias("shingle")
     )
