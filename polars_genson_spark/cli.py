@@ -118,7 +118,9 @@ def parse_cli_args_full(
         elif a == "--pq-column":
             pq_column = args[i + 1]; i += 2
         elif a == "--max-builders":
-            kw["max_builders"] = int(args[i + 1]); i += 2
+            # reference memory knob (never output-affecting); the Spark
+            # fold is O(summary) memory by construction — explicit no-op
+            i += 2
         elif a in ("--debug", "--profile", "--verbose"):
             i += 1  # reference diagnostics; no-ops here
         elif a.startswith("--"):

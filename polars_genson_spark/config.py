@@ -43,9 +43,12 @@ class InferenceConfig:
     wrap_root: str | None = None
     no_root_map: bool = True
     avro: bool = False
-    # Spark-side knob: max docs folded per Arrow batch before an intermediate
-    # partial merge (bounds Python-side peak memory, analog of max_builders).
-    max_builders: int | None = None
+    # NOTE: the reference's max_builders (a parallel-builder memory bound,
+    # core.rs:45) has no analogue here BY CONSTRUCTION: the mapInPandas
+    # fold keeps ONE summary node per partition and folds docs one at a
+    # time, so peak Python memory is already O(summary), not O(batch).
+    # The CLI still ACCEPTS --max-builders (reference snapshot replay) as
+    # an explicit no-op, like --debug/--profile.
 
     def __post_init__(self) -> None:
         if not isinstance(self.no_unify, frozenset):

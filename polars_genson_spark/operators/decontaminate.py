@@ -65,5 +65,14 @@ def decontaminate(
     genuinely small.)"""
     bad = contaminated_docs(
         corpus, benchmark, id_col, text_col, n, min_shared
-    ).select(id_col)
-    return corpus.join(bad, id_col, "left_anti")
+    ).select(F.col(id_col).alias("_bad_id"))
+    # null-safe anti-join: a plain equi-key never matches NULL = NULL, so
+    # contaminated rows with a NULL id would silently SURVIVE and ship in
+    # training data. NULL-id docs all group under one id upstream, so if
+    # that merged group crosses min_shared, every NULL-id row is dropped —
+    # conservative in the safe direction (over-drop, never leak)
+    return corpus.join(
+        bad,
+        F.col(id_col).eqNullSafe(F.col("_bad_id")),
+        "left_anti",
+    )

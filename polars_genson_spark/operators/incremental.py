@@ -97,7 +97,7 @@ def infer_incremental(
     config = config or InferenceConfig()
     state = load_state(state_dir)
     # stored per-file summaries depend on the InferenceConfig
-    # (ignore_outer_array / max_builders change what _observe_cell folds),
+    # (e.g. ignore_outer_array changes what _observe_cell folds),
     # so state written under different rules — or under no recorded rules
     # at all — must be discarded and every file re-folded, exactly like
     # checkpoint.plan_resume invalidates skips on a config_fp change

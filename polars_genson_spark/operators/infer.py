@@ -314,7 +314,14 @@ def infer_json_schema_per_row(
     mode (/root/reference/polars-genson-py/src/expressions.rs:247-310):
     each row gets its own finalised schema JSON (no cross-row merge), so
     this is a row-wise map (vectorized pandas UDF), not an aggregation.
-    Null/blank cells yield null."""
+    Null/blank cells yield null.
+
+    Serialisation note: output text is ``sort_keys=True`` — a DELIBERATE
+    representation choice so per-row schema text is hash/compare-stable
+    (the driver's value oracle pins it). This differs from merged-mode
+    text, which preserves first-seen property order for reference
+    OrderMap parity; the parsed schemas are identical either way, so
+    compare parsed JSON (not text) across the two modes."""
     config = config or InferenceConfig()
     cfg = config
 

@@ -109,22 +109,9 @@ def extract_features(
     def real_features(buf: bytes, meta: dict) -> list[float]:
         mime = (meta["mime"] or "").lower()
         if mime == "image/png":
-            img = decode_png(buf)
-            if img.ndim == 3:
-                img = (
-                    (img[:, :, :3] @ _GRAY_W).round().clip(0, 255)
-                    .astype(np.uint8)
-                )
-            hist = np.bincount(
-                (img.reshape(-1) >> 4), minlength=FEATURE_DIM
-            ).astype(np.float64)
-            return list(np.round(hist / max(img.size, 1), 6))
+            return _gray_hist16(_to_gray(decode_png(buf)))
         if mime == "image/x-raw-gray":
-            img = np.frombuffer(buf or b"", dtype=np.uint8)
-            hist = np.bincount(img >> 4, minlength=FEATURE_DIM).astype(
-                np.float64
-            )
-            return list(np.round(hist / max(img.size, 1), 6))
+            return _gray_hist16(np.frombuffer(buf or b"", dtype=np.uint8))
         if mime in ("audio/wav", "audio/x-wav", "audio/wave", "audio/l16"):
             if mime == "audio/l16":
                 x = np.frombuffer(buf or b"", dtype="<i2")
@@ -147,8 +134,13 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "real":
+                # MEDIA_SCHEMA allows NULL media/meta — a corrupt-row
+                # null must surface as null features, not a bytes(None)
+                # TypeError that kills the whole task
                 feats = [
-                    real_features(bytes(m), meta)
+                    None
+                    if m is None or meta is None
+                    else real_features(bytes(m), meta)
                     for m, meta in zip(pdf["media"], pdf["meta"])
                 ]
             else:
@@ -156,7 +148,9 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "kind": [m["kind"] for m in pdf["meta"]],
+                    "kind": [
+                        None if m is None else m["kind"] for m in pdf["meta"]
+                    ],
                     "features": feats,
                     batch_note_col: len(pdf),
                 }
@@ -189,13 +183,18 @@ def sample_frames(
     frames = F.explode(
         F.sequence(
             F.lit(0).cast("long"),
-            F.greatest(F.col("meta.duration_ms") - 1, F.lit(0).cast("long")),
+            F.col("meta.duration_ms") - 1,
             F.lit(every_ms).cast("long"),
         )
     )
-    return df.where(F.col("meta.kind") == "video").select(
-        F.col(id_col), frames.alias("frame_ts_ms")
-    )
+    # duration must be a known positive: greatest(dur-1, 0) manufactured
+    # a phantom frame at t=0 for zero-length videos, and greatest() SKIPS
+    # nulls so a NULL duration also yielded a t=0 frame into media with
+    # no content — exclude both up front instead
+    return df.where(
+        (F.col("meta.kind") == "video")
+        & (F.col("meta.duration_ms") > 0)
+    ).select(F.col(id_col), frames.alias("frame_ts_ms"))
 
 
 # ---------------------------------------------------------------------------
@@ -532,6 +531,26 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 _GRAY_W = np.array([0.299, 0.587, 0.114])
 
 
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    """BT.601 luma conversion for RGB(A) arrays; grayscale passes through.
+    THE one copy — extract_features and decode_media both use it, so the
+    'real' feature path can never drift from the decode path's pixels."""
+    if img.ndim == 3:
+        return (
+            (img[:, :, :3] @ _GRAY_W).round().clip(0, 255).astype(np.uint8)
+        )
+    return img
+
+
+def _gray_hist16(arr: np.ndarray) -> list[float]:
+    """16-bin intensity histogram (>> 4) normalised by pixel count —
+    shared by the png and raw-gray feature branches."""
+    hist = np.bincount(
+        (arr.reshape(-1) >> 4), minlength=FEATURE_DIM
+    ).astype(np.float64)
+    return list(np.round(hist / max(arr.size, 1), 6))
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode losslessly-compressed media rows (image/png, audio/wav) to
     the RAW row format (image/x-raw-gray, audio/L16) the DSP operators
@@ -546,15 +565,15 @@ def decode_media(df: DataFrame) -> DataFrame:
             for mid, buf, meta in zip(
                 pdf["media_id"], pdf["media"], pdf["meta"]
             ):
+                if buf is None or meta is None:
+                    # MEDIA_SCHEMA allows null media/meta: pass the row
+                    # through (nothing to decode) instead of crashing the
+                    # task on bytes(None)/meta['mime']
+                    out.append((mid, buf, meta))
+                    continue
                 mime = (meta["mime"] or "").lower()
                 if mime == "image/png":
-                    img = decode_png(bytes(buf))
-                    if img.ndim == 3:  # luma conversion for raw-gray
-                        img = (
-                            (img[:, :, :3] @ _GRAY_W).round()
-                            .clip(0, 255)
-                            .astype(np.uint8)
-                        )
+                    img = _to_gray(decode_png(bytes(buf)))
                     h, w = img.shape
                     out.append((mid, img.tobytes(), {
                         "kind": "image", "mime": "image/x-raw-gray",

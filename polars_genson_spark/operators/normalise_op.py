@@ -54,17 +54,14 @@ def normalise_json(
 
     spark = df.sparkSession
     schema_bc = spark.sparkContext.broadcast(json.dumps(avro_schema))
-    norm_bc = spark.sparkContext.broadcast(
-        (norm.empty_as_null, norm.coerce_string, norm.map_encoding, norm.wrap_root)
-    )
+    # norm rides the UDF closure directly: it is a tiny picklable
+    # dataclass, and the old field-by-field tuple round-trip silently
+    # dropped any config field it didn't enumerate
+    cfg = norm
 
     @F.pandas_udf("string")
     def _normalise(col: pd.Series) -> pd.Series:
-        from ..config import NormaliseConfig as NC
-
         schema = json.loads(schema_bc.value)
-        e, c, m, w = norm_bc.value
-        cfg = NC(empty_as_null=e, coerce_string=c, map_encoding=m, wrap_root=w)
 
         def one(cell: str | None) -> str | None:
             # blank/unparseable cells normalise to null rather than
@@ -84,7 +81,22 @@ def normalise_json(
     result = df.withColumn(out_name, _normalise(F.col(column)))
 
     if decode:
-        dtype = avro_to_spark_schema(avro_schema)
+        from ..config import MAP_ENCODING_ENTRIES, MAP_ENCODING_KV
+
+        if norm.map_encoding == MAP_ENCODING_ENTRIES:
+            # [{k: v}] has variable key names — no static Spark type can
+            # hold it; from_json would silently null every map field
+            raise ValueError(
+                "decode=True does not support map_encoding='entries' "
+                "(variable-key objects have no static Spark type); "
+                "use 'kv' or 'mapping'"
+            )
+        # type map fields to MATCH the encoding the normalised text uses:
+        # hardcoding kv (the old behavior) made decode of 'mapping'
+        # output null for every map field — silent data loss
+        dtype = avro_to_spark_schema(
+            avro_schema, kv_encoding=norm.map_encoding == MAP_ENCODING_KV
+        )
         result = result.withColumn(out_name, F.from_json(F.col(out_name), dtype))
         if unnest:
             other = [c for c in result.columns if c != out_name]

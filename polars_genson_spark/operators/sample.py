@@ -39,7 +39,18 @@ def stratified_sample(
     if method == "hash":
         key: Column = F.xxhash64(F.col(id_col))
     elif method == "mod":
-        key = F.col(id_col).cast("long")
+        # fail loud on non-integral id columns: cast('long') of a string
+        # id like 'm-000001' is NULL (non-ANSI), pmod(NULL, d) is NULL,
+        # and where(NULL) would silently drop EVERY row
+        id_type = df.schema[id_col].dataType.simpleString()
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"method='mod' needs an integral id column; {id_col!r} "
+                f"is {id_type} — use method='hash'"
+            )
+        # NULL ids fall to key 0 (kept at any nonzero rate), matching
+        # 'hash' where xxhash64(NULL) is a constant — not silently dropped
+        key = F.coalesce(F.col(id_col).cast("long"), F.lit(0))
     else:
         raise ValueError(f"unknown method {method!r} (use 'hash' or 'mod')")
     for group, (n, d) in [*rates.items(), ("<default>", default_rate)]:
@@ -231,9 +242,16 @@ def split_corpus(
     if weights is None:
         weights = {"train": 98, "val": 1, "test": 1}
     # an explicit {} is an error, not a request for the default — only
-    # None opts into 98/1/1
-    if not weights or any(w <= 0 for w in weights.values()):
-        raise ValueError(f"weights must be positive, got {weights!r}")
+    # None opts into 98/1/1. Weights must be INTEGERS: floats would pass
+    # a >0 check and then crash format(float, '08x') with an unrelated
+    # error (use {'train': 98, 'val': 1}, not {'train': 0.98, ...})
+    if not weights or any(
+        not isinstance(w, int) or isinstance(w, bool) or w <= 0
+        for w in weights.values()
+    ):
+        raise ValueError(
+            f"weights must be positive integers, got {weights!r}"
+        )
     total = sum(weights.values())
     key8 = F.substring(shuffle_key(id_col, seed), 1, 8)
     items = sorted(weights.items())
