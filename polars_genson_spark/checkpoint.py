@@ -41,21 +41,30 @@ def partition_fingerprints(
     return {r[cfg.source_col]: (int(r["fp"] or 0) ^ int(r["n"])) for r in rows}
 
 
-def load_manifest(run_dir: str) -> dict[str, Any] | None:
-    path = os.path.join(run_dir, MANIFEST_NAME)
-    if not os.path.exists(path):
-        return None
-    with open(path) as fh:
-        return json.load(fh)
+def load_manifest(run_dir: str, spark=None) -> dict[str, Any] | None:
+    """Read the run manifest. Pass ``spark`` so a remote ``run_dir``
+    (s3a://, hdfs://) reads through the Hadoop FileSystem — a local
+    open() next to a distributed output silently finds nothing there,
+    making every resume revalidate from scratch."""
+    from . import fsutil
+
+    path = run_dir.rstrip("/") + "/" + MANIFEST_NAME
+    if not fsutil.is_remote(run_dir):
+        path = os.path.join(run_dir, MANIFEST_NAME)
+    text = fsutil.read_text(spark, path)
+    return json.loads(text) if text is not None else None
 
 
-def save_manifest(run_dir: str, manifest: dict[str, Any]) -> str:
-    os.makedirs(run_dir, exist_ok=True)
-    path = os.path.join(run_dir, MANIFEST_NAME)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=2, sort_keys=True, default=str)
-    os.replace(tmp, path)
+def save_manifest(run_dir: str, manifest: dict[str, Any], spark=None) -> str:
+    from . import fsutil
+
+    text = json.dumps(manifest, indent=2, sort_keys=True, default=str)
+    if fsutil.is_remote(run_dir):
+        path = run_dir.rstrip("/") + "/" + MANIFEST_NAME
+    else:
+        os.makedirs(run_dir, exist_ok=True)
+        path = os.path.join(run_dir, MANIFEST_NAME)
+    fsutil.write_text(spark, path, text)
     return path
 
 

@@ -45,9 +45,12 @@ _PRIMITIVES = {
 
 
 def _is_map_schema(schema: Json) -> bool:
+    # additionalProperties: false is a CLOSED object (no extra keys), not
+    # a map of string values — only a schema-or-true marker means map
     return (
         isinstance(schema, dict)
         and "additionalProperties" in schema
+        and schema.get("additionalProperties") is not False
         and not schema.get("properties")
     )
 
@@ -134,22 +137,43 @@ def _avro_type(schema: Json, pending_name: str, namespace: str) -> Json:
     if not isinstance(schema, dict):
         return "string"
 
+    def _union_member_name(consumed: int) -> str:
+        # Avro rejects redefining a record name within one schema: when a
+        # union holds MORE than one structured member (object/array/map),
+        # the 2nd+ take a _N suffix. Single-structured unions — the shape
+        # the inference engine itself emits — keep the bare name.
+        return pending_name if consumed == 0 else f"{pending_name}_{consumed + 1}"
+
     anyof = schema.get("anyOf")
     if isinstance(anyof, list):
-        return [_avro_type(s, pending_name, namespace) for s in anyof]
+        out: list[Json] = []
+        consumed = 0
+        for s in anyof:
+            structured = isinstance(s, dict) and s.get("type") in (
+                "object", "array",
+            )
+            out.append(
+                _avro_type(s, _union_member_name(consumed), namespace)
+            )
+            consumed += int(structured)
+        return out
 
     t = schema.get("type")
 
     if isinstance(t, list):
         # {"type": ["null", "integer"]} and multi-scalar unions
         members: list[Json] = []
+        consumed = 0
         for member in t:
             if member == "null":
                 members.append("null")
             elif member in ("object", "array"):
                 sub = dict(schema)
                 sub["type"] = member
-                members.append(_avro_type(sub, pending_name, namespace))
+                members.append(
+                    _avro_type(sub, _union_member_name(consumed), namespace)
+                )
+                consumed += 1
             else:
                 members.append(_PRIMITIVES.get(member, member))
         return members

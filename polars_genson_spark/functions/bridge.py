@@ -21,6 +21,15 @@ from pyspark.sql import types as T
 Json = Any
 
 
+_JSON_PRIMITIVE_TYPES = {
+    "string": T.StringType(),
+    "integer": T.LongType(),
+    "number": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "null": T.NullType(),
+}
+
+
 def _json_type_to_spark(schema: Json, kv_encoding: bool) -> T.DataType:
     if isinstance(schema, list):  # legacy union
         non_null = [s for s in schema if s != "null"]
@@ -28,6 +37,11 @@ def _json_type_to_spark(schema: Json, kv_encoding: bool) -> T.DataType:
             return T.NullType()
         return _json_type_to_spark(non_null[0], kv_encoding)
     if not isinstance(schema, dict):
+        # legacy unions carry bare type-name strings (['null','integer']):
+        # map them like the Avro bridge does, instead of degrading every
+        # member to string
+        if isinstance(schema, str) and schema in _JSON_PRIMITIVE_TYPES:
+            return _JSON_PRIMITIVE_TYPES[schema]
         return T.StringType()
 
     anyof = schema.get("anyOf")
@@ -77,7 +91,10 @@ def _json_type_to_spark(schema: Json, kv_encoding: bool) -> T.DataType:
     if t == "object":
         ap = schema.get("additionalProperties")
         props = schema.get("properties")
-        if ap is not None and not props:
+        # additionalProperties: false is a CLOSED object, not a map —
+        # treating the boolean as a value schema produced a phantom
+        # map<string,string> for a schema that declares NO extra keys
+        if ap is not None and ap is not False and not props:
             value_type = _json_type_to_spark(ap, kv_encoding)
             if kv_encoding:
                 return T.ArrayType(

@@ -129,6 +129,16 @@ def _tokens_expr(text_col: str, vocab: int):
     )
 
 
+# with_quality withColumn-replaces these names; select(*docs.columns)
+# after the gate would silently propagate the recomputed heuristics
+# under the user's column names — so curate() rejects inputs carrying
+# them, at entry, before any stage materialises
+_QUALITY_COLS = {
+    "n_words", "punct_ratio", "stopword_ratio", "mean_word_len",
+    "quality_score",
+}
+
+
 def curate(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -153,6 +163,16 @@ def curate(
     already-cached checkpoint blocks, so the default stays True; the
     flag's value is cluster scheduler latency, not compute."""
     cfg = cfg or CurateConfig()
+    # fail BEFORE any compute: this check reads only docs.columns, and
+    # deferring it to stage 4 (its old home) meant the exact-dup and the
+    # heaviest near-dup stages fully materialised before the error fired
+    clash = _QUALITY_COLS & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"curate reserves quality feature column(s) {sorted(clash)}; "
+            "rename them in the input (they would be silently "
+            "overwritten by the quality stage)"
+        )
     stage_counts: dict[str, int] = {}
     stage_seconds: dict[str, float] = {}
     last_boundary = time.monotonic()
@@ -283,21 +303,7 @@ def curate(
 
     # 4. quality gate (pure codegen filters; optionally a learned LR
     #    score over the same features — still zero Python on the rows).
-    #    Fail loud on column collisions: with_quality withColumn-replaces
-    #    these names, and select(*docs.columns) below would then
-    #    silently propagate the recomputed heuristics under the user's
-    #    column names
-    _QUALITY_COLS = {
-        "n_words", "punct_ratio", "stopword_ratio", "mean_word_len",
-        "quality_score",
-    }
-    clash = _QUALITY_COLS & set(docs.columns)
-    if clash:
-        raise ValueError(
-            f"curate reserves quality feature column(s) {sorted(clash)}; "
-            "rename them in the input (they would be silently "
-            "overwritten by the quality stage)"
-        )
+    #    Column-collision check ran at curate() entry (_QUALITY_COLS).
     q = with_quality(cur, cfg.text_col)
     keep = (F.col("punct_ratio") <= cfg.max_punct_ratio) & (
         F.length(cfg.text_col) >= cfg.min_chars

@@ -107,22 +107,45 @@ def normalise_from_parquet(
         pq.write_table(table, output_path)
     else:
         out.write.mode("overwrite").parquet(output_path)
-        with open(os.path.join(output_path, SIDECAR_NAME), "w") as f:
-            json.dump(meta, f, indent=2)
+        # remote-safe: a local open() here would crash on s3a://... AFTER
+        # the expensive distributed write completed
+        write_sidecar_metadata(output_path, meta, spark=spark)
     return res
 
 
-def write_sidecar_metadata(path: str, meta: dict[str, str]) -> None:
+def write_sidecar_metadata(
+    path: str, meta: dict[str, str], spark: SparkSession | None = None
+) -> None:
     """Stamp KV metadata on a Spark-written parquet directory via the
-    sidecar file that :func:`read_parquet_metadata` understands."""
-    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
-        json.dump({str(k): str(v) for k, v in meta.items()}, f, indent=2)
+    sidecar file that :func:`read_parquet_metadata` understands. Pass
+    ``spark`` so remote directories (s3a://, hdfs://) write through the
+    Hadoop FileSystem."""
+    from .. import fsutil
+
+    fsutil.write_text(
+        spark,
+        path.rstrip("/") + "/" + SIDECAR_NAME,
+        json.dumps(
+            {str(k): str(v) for k, v in meta.items()}, indent=2
+        ),
+    )
 
 
-def read_parquet_metadata(path: str) -> dict[str, str]:
+def read_parquet_metadata(
+    path: str, spark: SparkSession | None = None
+) -> dict[str, str]:
     """Return user KV metadata stamped on ``path`` (reference
     parquet.rs:190-199): parquet footer for a single file, sidecar for a
-    Spark-written directory."""
+    Spark-written directory. Pass ``spark`` for remote paths."""
+    from .. import fsutil
+
+    if fsutil.is_remote(path):
+        text = fsutil.read_text(
+            spark, path.rstrip("/") + "/" + SIDECAR_NAME
+        )
+        if text is not None:
+            return {str(k): str(v) for k, v in json.loads(text).items()}
+        return {}
     if os.path.isdir(path):
         sidecar = os.path.join(path, SIDECAR_NAME)
         if os.path.exists(sidecar):
