@@ -142,13 +142,25 @@ def test_fsutil_local_roundtrip_and_sizes(spark, tmp_path):
     assert n >= 1 and total > 0
 
 
-def test_compact_refuses_empty_input(spark, tmp_path):
-    from polars_genson_spark.jobs import main
+def test_compact_refuses_empty_input(tmp_path):
+    # subprocess, NOT an in-process main() call: main() stops its spark
+    # session in a finally, which would kill the getOrCreate-shared
+    # context for every later test module in the run
+    import subprocess
+    import sys
 
     empty = tmp_path / "empty"
     empty.mkdir()
-    with pytest.raises(SystemExit, match="no parquet files"):
-        main([
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "polars_genson_spark.jobs",
             "compact", "--input", str(empty),
             "--output", str(tmp_path / "out"), "--target-mb", "64",
-        ])
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "no parquet files" in proc.stderr
