@@ -72,32 +72,49 @@ def parse_cli_args_full(
     pq_column: str | None = None
     input_path: str | None = None
     i = 0
+
+    def val(flag: str) -> str:
+        # bounds-checked flag value: a flag given last crashed with a
+        # raw IndexError instead of the reference's usage error
+        if i + 1 >= len(args):
+            raise SystemExit(f"Missing value for {flag}")
+        return args[i + 1]
+
+    def force_pair(flag: str) -> tuple[str, str]:
+        v = val(flag)
+        if ":" not in v:
+            raise SystemExit(
+                f"{flag} expects field:type, got {v!r}"
+            )
+        f, t = v.split(":", 1)
+        return f, t
+
     while i < len(args):
         a = args[i]
         if a in ("--help", "-h"):
             print(HELP)
             raise SystemExit(0)
         elif a == "--map-threshold":
-            kw["map_threshold"] = int(args[i + 1]); i += 2
+            kw["map_threshold"] = int(val(a)); i += 2
         elif a == "--unify-maps":
             kw["unify_maps"] = True; i += 1
         elif a == "--wrap-root":
-            kw["wrap_root"] = args[i + 1]; i += 2
+            kw["wrap_root"] = val(a); i += 2
         elif a == "--ndjson":
             kw["ndjson"] = True; i += 1
         elif a in ("--map-max-required-keys", "--map-max-rk"):
-            kw["map_max_required_keys"] = int(args[i + 1]); i += 2
+            kw["map_max_required_keys"] = int(val(a)); i += 2
         elif a == "--no-unify":
-            kw["no_unify"] = frozenset(args[i + 1].split(",")); i += 2
+            kw["no_unify"] = frozenset(val(a).split(",")); i += 2
         elif a == "--force-type":
-            f, t = args[i + 1].split(":", 1)
+            f, t = force_pair(a)
             kw.setdefault("force_field_types", {})[f] = t; i += 2
         elif a == "--force-parent-type":
-            f, t = args[i + 1].split(":", 1)
+            f, t = force_pair(a)
             kw.setdefault("force_parent_field_types", {})[f] = t; i += 2
         elif a == "--force-scalar-promotion":
             kw["force_scalar_promotion"] = frozenset(
-                args[i + 1].split(",")
+                val(a).split(",")
             ); i += 2
         elif a == "--no-wrap-scalars":
             kw["wrap_scalars"] = False; i += 1
@@ -114,9 +131,18 @@ def parse_cli_args_full(
         elif a == "--keep-empty":
             keep_empty = True; i += 1
         elif a == "--map-encoding":
-            map_encoding = args[i + 1]; i += 2
+            map_encoding = val(a)
+            if map_encoding not in ("mapping", "entries", "kv"):
+                # reject at the CLI boundary like the reference's enum
+                # parse — not deep inside per-row normalisation after
+                # Spark startup (or silently, if no map field exists)
+                raise SystemExit(
+                    f"invalid --map-encoding {map_encoding!r} "
+                    "(mapping|entries|kv)"
+                )
+            i += 2
         elif a == "--pq-column":
-            pq_column = args[i + 1]; i += 2
+            pq_column = val(a); i += 2
         elif a == "--max-builders":
             # reference memory knob (never output-affecting); the Spark
             # fold is O(summary) memory by construction — explicit no-op
@@ -161,7 +187,7 @@ def main(argv: list[str] | None = None) -> int:
                     line for c in cells if c
                     for line in c.splitlines() if line.strip()
                 ]
-            text = "\n".join(c for c in cells if c) if cfg.ndjson else None
+            text = None  # parquet mode: `cells` is the document list
             rows = [(c,) for c in cells]
             df = spark.createDataFrame(rows, "doc string")
         else:
@@ -173,10 +199,12 @@ def main(argv: list[str] | None = None) -> int:
             acfg = dataclasses.replace(cfg, avro=True)
             res = infer_json_schema(df, "doc", acfg)
             if pq_column is not None:
+                # iterate the `cells` list already on the driver (a
+                # re-collect of df rebuilt the identical list)
                 docs = []
-                for r in df.collect():
+                for c in cells:
                     try:
-                        docs.append(json.loads(r[0]) if r[0] else None)
+                        docs.append(json.loads(c) if c else None)
                     except ValueError:
                         docs.append(None)  # main.rs:238 unwrap_or(Null)
             elif cfg.ndjson:
@@ -184,17 +212,27 @@ def main(argv: list[str] | None = None) -> int:
                     json.loads(l) for l in text.splitlines() if l.strip()
                 ]
             else:
-                d = json.loads(text)
-                docs = d if isinstance(d, list) else [d]
+                # regular JSON is ONE value, array or not (main.rs:247):
+                # splitting a top-level array normalised each element
+                # against the whole-file schema — wrong under
+                # --no-ignore-array (double scalar-wrap) and --wrap-root
+                # (elements wrapped instead of the array)
+                try:
+                    docs = [json.loads(text)]
+                except ValueError:
+                    docs = [None]  # unwrap_or(Null), like the reference
             rows = [normalise_document(d, res.schema, norm) for d in docs]
+            # ensure_ascii=False throughout: the reference's serde output
+            # is raw UTF-8, not \uXXXX escapes
             if cfg.ndjson:
                 for r in rows:
-                    print(json.dumps(r, separators=(",", ":")))
+                    print(json.dumps(r, separators=(",", ":"),
+                                     ensure_ascii=False))
             else:
-                print(json.dumps(rows, indent=2))
+                print(json.dumps(rows, indent=2, ensure_ascii=False))
         else:
             res = infer_json_schema(df, "doc", cfg)
-            print(json.dumps(res.schema, indent=2))
+            print(json.dumps(res.schema, indent=2, ensure_ascii=False))
         print(f"Processed {res.processed_count} documents", file=sys.stderr)
         return 0
     finally:

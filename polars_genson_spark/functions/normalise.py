@@ -75,14 +75,24 @@ def normalise_value(
                 return "true" if value else "false"
             import json as _json
 
-            return _json.dumps(value, separators=(",", ":"))
+            # ensure_ascii=False: serde emits raw UTF-8 — \uXXXX escapes
+            # would change the DATA of any coerced non-ASCII value
+            return _json.dumps(
+                value, separators=(",", ":"), ensure_ascii=False
+            )
         if t in ("int", "long"):
             if value is None:
                 return None
             if isinstance(value, bool):
                 return None
             if isinstance(value, int):
-                return value
+                # reference parity (normalise.rs n.is_i64()): a value
+                # outside i64 is nulled, not passed through — Python's
+                # arbitrary-precision int would otherwise overflow the
+                # LongType column / Avro long reader downstream
+                if -(2**63) <= value < 2**63:
+                    return value
+                return None
             if isinstance(value, str) and cfg.coerce_string:
                 try:
                     return int(value)

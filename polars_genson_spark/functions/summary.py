@@ -35,6 +35,7 @@ Semantics ported (behaviour, not code) from:
 
 from __future__ import annotations
 
+import copy
 from typing import Any
 
 SCALAR_KINDS = ("null", "boolean", "number", "string")
@@ -125,9 +126,11 @@ def merge(a: dict[str, Any], b: dict[str, Any]) -> dict[str, Any]:
     for kind, bs in b.items():
         as_ = a.get(kind)
         if as_ is None:
-            # Deep-ish copy not needed: partials are never reused after merge,
-            # but copy defensively for driver-side reuse in tests.
-            a[kind] = bs
+            # REAL deep copy, not an alias: a[kind] = bs shares state, so
+            # a later observe/merge into `a` silently mutates `b` — the
+            # hazard incremental.py once worked around with a JSON
+            # round-trip at its call site
+            a[kind] = copy.deepcopy(bs)
             continue
         if kind == "number":
             if bs["kind"] == "number":
