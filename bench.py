@@ -88,15 +88,33 @@ def main() -> None:
     # best-of-3 with min/max spread per query: the shared host's noise
     # windows (r03 recorded a phantom -31% on untouched code) must be
     # visible in the artifact, not mistakable for regressions
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def materialize(df):
+        """Force FULL computation of every output column. A bare count()
+        lets Catalyst prune unreferenced projection columns (deterministic
+        UDFs included), so projection-shaped queries (normalise/decode,
+        language_id, per-row schemas) timed only their scan + filter —
+        the exact hazard the labels macro section always avoided with a
+        to_json checksum. xxhash64 is the cheap path; queries whose
+        output types it can't hash (maps) fall back to the json length."""
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in df.columns]
+        try:
+            df.agg(F.sum(F.xxhash64(*cols))).collect()
+        except Exception:
+            df.agg(
+                F.sum(F.length(F.to_json(F.struct(*cols))))
+            ).collect()
+
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     for name in headline:
         samples = []
         for _rep in range(reps):
             t0 = time.perf_counter()
-            df = q[name](spark, sf_dir)
-            df.count()
+            materialize(q[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[0], 3)
@@ -151,11 +169,17 @@ def main() -> None:
     ]
 
     # schema-inference throughput (reference benchmarks 10-row latency at
-    # ~36.6 inferences/s; we measure docs/sec through the same pipeline)
+    # ~36.6 inferences/s; we measure docs/sec through the same pipeline).
+    # best-of-reps like every other metric — this was the one remaining
+    # single-shot number, the exact noise hazard called out above
     n_docs = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    t0 = time.perf_counter()
-    q["schema_infer_events_props"](spark, sf_dir).count()
-    infer_sec = time.perf_counter() - t0
+    infer_samples = []
+    for _rep in range(reps):
+        t0 = time.perf_counter()
+        q["schema_infer_events_props"](spark, sf_dir).count()
+        infer_samples.append(time.perf_counter() - t0)
+    infer_samples.sort()
+    infer_sec = infer_samples[0]
 
     # apples-to-apples vs the reference's OWN macro bench data (Wikidata
     # labels.parquet, read-only) at 100x replication — only when the
@@ -242,8 +266,10 @@ def main() -> None:
         "bpe_apply_spread": [
             round(bpe_samples[0], 3), round(bpe_samples[-1], 3)
         ],
+        # sum() over zero rows is None (empty/whitespace-only corpus):
+        # fail soft with 0, not a TypeError after all the timing work
         "bpe_docs": n_bpe_docs,
-        "bpe_tokens": int(n_bpe_tokens),
+        "bpe_tokens": int(n_bpe_tokens or 0),
         "bpe_docs_per_sec": round(n_bpe_docs / bpe_sec, 1),
         "bpe_tokens_per_sec": round(n_bpe_tokens / bpe_sec, 1),
     })

@@ -66,9 +66,16 @@ def parse_dtype(dtype_str: str) -> T.DataType:
         return T.DecimalType(38, 9)  # "Decimal" without parameters
 
     # Datetime/Duration may carry (time_unit[, tz]) parameters — the unit
-    # does not change the Spark type
+    # does not change the Spark type, but a TIME ZONE makes it an instant
+    # (tz-aware TimestampType), not wall-clock NTZ: dropping it silently
+    # shifted round-tripped data by the session timezone
     base = re.match(r"(Datetime|Duration|Time)\s*\(", dtype_str)
     if base:
+        if base.group(1) == "Datetime":
+            m = re.match(r"Datetime\s*\(([^)]*)\)", dtype_str)
+            params = [p.strip() for p in (m.group(1) if m else "").split(",")]
+            if len(params) > 1 and params[1] not in ("", "None", "null"):
+                return T.TimestampType()
         return _SIMPLE_TO_SPARK[base.group(1)]
 
     if dtype_str in _SIMPLE_TO_SPARK:
@@ -140,9 +147,11 @@ def format_dtype(dtype: T.DataType) -> str:
         return f"List[{format_dtype(dtype.elementType)}]"
     if isinstance(dtype, T.MapType):
         # maps serialise as their kv-encoded shape, like the engine's
-        # default map encoding
+        # default map encoding — preserving the ACTUAL key type (the old
+        # hardcoded String silently corrupted map<int,...> round-trips
+        # while schema_to_dict reported the correct key type)
         return (
-            "List[Struct[key:String,value:"
+            f"List[Struct[key:{format_dtype(dtype.keyType)},value:"
             f"{format_dtype(dtype.valueType)}]]"
         )
     if isinstance(dtype, T.DecimalType):
@@ -160,7 +169,10 @@ def format_dtype(dtype: T.DataType) -> str:
         (T.BooleanType, "Boolean"),
         (T.DateType, "Date"),
         (T.TimestampNTZType, "Datetime"),
-        (T.TimestampType, "Datetime"),
+        # tz-aware timestamps are instants: polars spells that
+        # Datetime(us, UTC); a bare "Datetime" would parse back as NTZ
+        # and silently shift wall-clock reads by the session timezone
+        (T.TimestampType, "Datetime(us, UTC)"),
         (T.DayTimeIntervalType, "Duration"),
         (T.NullType, "Null"),
         (T.BinaryType, "Binary"),
@@ -223,11 +235,9 @@ def schema_to_dict(schema: T.StructType) -> dict:
 def avro_to_spark_schema(avro_schema_json: str) -> T.StructType:
     """Avro schema JSON string → StructType
     (reference ``avro_to_polars_schema``, __init__.py:1236-1257)."""
-    import json as _json
-
     from .bridge import avro_to_spark_schema as _bridge_avro
 
-    parsed = _json.loads(avro_schema_json)
+    parsed = json.loads(avro_schema_json)
     dt = _bridge_avro(parsed)
     if isinstance(dt, T.StructType):
         return dt

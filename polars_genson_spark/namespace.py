@@ -45,10 +45,14 @@ class GensonNamespace:
         the callers (it changes the output shape)."""
         from .config import InferenceConfig
 
-        if "config" in kwargs:
-            return kwargs.pop("config")
+        # strip the ignored diagnostics BEFORE the explicit-config early
+        # return: config= plus debug=True used to leave 'debug' behind
+        # for _reject_unknown to TypeError on, contradicting the
+        # 'accepted and ignored' contract above
         for diag in ("debug", "profile", "verbosity"):
             kwargs.pop(diag, None)
+        if "config" in kwargs:
+            return kwargs.pop("config")
         cfg_fields = {f for f in InferenceConfig.__dataclass_fields__}
         cfg_kw = {k: kwargs.pop(k) for k in list(kwargs) if k in cfg_fields}
         return InferenceConfig(**cfg_kw)

@@ -41,6 +41,13 @@ _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _py_words(text: str | None) -> list[str]:
+    # CASE-MAPPING caveat: Python str.lower() is locale-independent
+    # Unicode default casing, while the JVM side (F.lower in training and
+    # the join apply path) can be default-locale sensitive for a handful
+    # of code points (the Turkish dotless-i being the classic). On a
+    # cluster whose JVMs run a non-English default locale, pin
+    # -Duser.language=en (or pre-lowercase the corpus) so train and apply
+    # agree; ASCII corpora are unaffected.
     return [w for w in _ASCII_WS.split((text or "").lower()) if w]
 
 
