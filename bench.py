@@ -2,6 +2,19 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value" (total sec), "unit": "sec", "queries":
 {name: sec}, "sf", plus rows_per_sec for the flagship validation}.
+
+The same JSON object is ALSO written to BENCH_OUT.json next to this
+script: BENCH_r04's stdout line was pushed past the driver's tail window
+by Spark progress bars, leaving `"parsed": null` — the file copy (plus
+spark.ui.showConsoleProgress=false for the bench session) makes the
+artifact machine-readable regardless of what else lands on stdout.
+
+A `calibration` field times a FIXED pure-CPU workload (single-core and
+all-core numpy loops) in the same window, so cross-round comparisons can
+divide out shared-host tenant load: r04's raw suite total read 1.8×
+slower than r03 on queries whose code had not changed, with the host at
+load-average 10.8 from other tenants — best-of-3 spreads expose that
+noise but don't normalize it; the calibration ratio does.
 """
 
 from __future__ import annotations
@@ -15,11 +28,64 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _calib_kernel(_arg: int = 0) -> float:
+    """Fixed single-threaded CPU workload (~0.5s on an idle core).
+    Elementwise numpy stays single-threaded (no BLAS), so one call
+    measures exactly one core's effective speed under current load."""
+    import numpy as np
+
+    x = np.arange(1_500_000, dtype=np.float64)
+    for _ in range(40):
+        x = np.sqrt(x * 1.0001 + 1.0)
+    return float(x[0])
+
+
+def calibrate(cpus: int, reps: int = 3) -> dict:
+    """Best-of-reps timings of the fixed kernel on one core and on all
+    cores at once (multiprocessing pool, wall-clock). The all-core number
+    is the one that degrades under tenant load; single-core catches
+    frequency/steal effects. Units: seconds for the FIXED workload —
+    compare the same field across rounds, not across machines."""
+    import multiprocessing as mp
+
+    single = min(
+        _timed(_calib_kernel) for _ in range(reps)
+    )
+    all_core = None
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(cpus) as pool:
+            samples = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                pool.map(_calib_kernel, range(cpus))
+                samples.append(time.perf_counter() - t0)
+            all_core = min(samples)
+    except Exception:
+        pass  # calibration must never sink the bench
+    out = {
+        "single_core_sec": round(single, 4),
+        "all_core_workers": cpus,
+    }
+    if all_core is not None:
+        out["all_core_sec"] = round(all_core, 4)
+    return out
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # calibrate BEFORE the JVM exists so nothing of ours competes
+    calibration = calibrate(int(cpus))
 
     from polars_genson_spark.session import get_spark
 
@@ -27,6 +93,9 @@ def main() -> None:
         app_name="pgs-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # progress bars on stdout pushed the r04 JSON line past the
+        # driver's tail window — the bench session stays silent
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
     import __spark_entry__ as E
@@ -271,7 +340,7 @@ def main() -> None:
         "bpe_docs": n_bpe_docs,
         "bpe_tokens": int(n_bpe_tokens or 0),
         "bpe_docs_per_sec": round(n_bpe_docs / bpe_sec, 1),
-        "bpe_tokens_per_sec": round(n_bpe_tokens / bpe_sec, 1),
+        "bpe_tokens_per_sec": round((n_bpe_tokens or 0) / bpe_sec, 1),
     })
 
     total = round(sum(timings.values()), 3)
@@ -285,12 +354,27 @@ def main() -> None:
         "sf": sf,
         **extra_labels,
         "validated_rows": n_rows,
-        "validated_rows_per_sec": round(n_rows / validate_sec, 1),
+        # renamed from validated_rows_per_sec (VERDICT r04 #3): the 5k-row
+        # sf0.1 suite timing is pure fixed overhead (job scheduling + plan
+        # compilation), not throughput — corpus_1m_rows_per_sec and the
+        # 10M/100M BENCH.md runs are the real rows/sec signal
+        "validate_fixed_overhead_sec": round(validate_sec, 3),
         "corpus_1m_rows_per_sec": round(n_big / big_sec, 1),
         "inferred_docs_per_sec": round(n_docs / infer_sec, 1),
         "cpus": int(cpus),
+        "calibration": calibration,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # file copy first: stdout may be tailed/truncated by the harness
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_OUT.json"
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout must not sink the stdout contract
+    print(line)
     spark.stop()
 
 

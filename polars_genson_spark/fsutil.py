@@ -30,6 +30,13 @@ def hadoop_path(spark: SparkSession, uri: str):
 
 def write_text(spark: SparkSession | None, uri: str, text: str) -> None:
     """Write a small text file at ``uri`` (local or remote)."""
+    if is_remote(uri) and spark is None:
+        # the local branch would mkdir a literal "s3a:" directory and
+        # "succeed" — the manifest silently lands on the driver's disk
+        # and the next resume sees nothing. Fail loudly instead.
+        raise ValueError(
+            f"remote URI {uri!r} requires a SparkSession (spark=None)"
+        )
     if spark is None or not is_remote(uri):
         os.makedirs(os.path.dirname(uri) or ".", exist_ok=True)
         tmp = uri + ".tmp"
@@ -47,6 +54,12 @@ def write_text(spark: SparkSession | None, uri: str, text: str) -> None:
 
 def read_text(spark: SparkSession | None, uri: str) -> str | None:
     """Contents of ``uri`` or None if absent (local or remote)."""
+    if is_remote(uri) and spark is None:
+        # os.path.exists("s3a://...") is always False — the caller would
+        # get a silent no-resume instead of its remote manifest
+        raise ValueError(
+            f"remote URI {uri!r} requires a SparkSession (spark=None)"
+        )
     if spark is None or not is_remote(uri):
         if not os.path.exists(uri):
             return None
@@ -80,20 +93,96 @@ def parquet_sizes(spark: SparkSession, directory: str) -> tuple[int, int]:
             os.path.join(directory, "**", "*.parquet"), recursive=True
         )
         return len(files), sum(os.path.getsize(f) for f in files)
-    jvm = spark.sparkContext._jvm
+    # Hadoop globStatus has no recursive '**' (it matches a single path
+    # segment), so a glob-based remote branch missed files nested deeper
+    # than one partition level (split=x/source=y/part-*.parquet → 0 files
+    # → a bytes-derived writer count of max(1, 0)). listFiles(path, true)
+    # is a truly recursive RemoteIterator — same semantics as the local
+    # recursive glob above.
+    path, fs = hadoop_path(spark, directory)
     total = 0
     count = 0
-    for pattern in ("/*.parquet", "/**/*.parquet"):
-        path = jvm.org.apache.hadoop.fs.Path(
-            directory.rstrip("/") + pattern
-        )
-        fs = path.getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
-        )
-        statuses = fs.globStatus(path)
-        if statuses:
-            for st in statuses:
-                count += 1
-                total += st.getLen()
-            break
+    if not fs.exists(path):
+        return 0, 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            count += 1
+            total += st.getLen()
     return count, total
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_hive(name: str) -> str:
+    """Decode Hive partition-path escaping (%XX per special char).
+    Decoding needs no knowledge of WHICH chars Hive escapes — any %XX
+    pair is a literal byte — so it is safe against the full escape set
+    (space, colon, '#', '%', ...)."""
+    out: list[str] = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if c == "%" and i + 3 <= len(name):
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def delete_partition_dirs(
+    spark: SparkSession,
+    base_uri: str,
+    col: str,
+    values: list,
+) -> list[str]:
+    """Delete ``col=<value>`` partition directories under ``base_uri``
+    for each value in ``values`` (``None`` matches Hive's
+    ``__HIVE_DEFAULT_PARTITION__``). Returns the deleted dir names.
+
+    Needed because dynamic partition overwrite only rewrites partitions
+    PRESENT in the written data: a revalidated source that is now clean
+    emits zero violation rows, so its stale partition from the prior run
+    would survive the overwrite and readers would see phantom violations.
+    Matching is done by UNESCAPING existing dir names (one-directional,
+    char-set-free) rather than re-implementing Hive's escape table.
+    """
+    want = {(_HIVE_NULL if v is None else str(v)) for v in values}
+    deleted: list[str] = []
+    prefix = col + "="
+    if not is_remote(base_uri):
+        if not os.path.isdir(base_uri):
+            return deleted
+        import shutil
+
+        for name in os.listdir(base_uri):
+            if not name.startswith(prefix):
+                continue
+            raw = name[len(prefix):]
+            val = raw if raw == _HIVE_NULL else _unescape_hive(raw)
+            if val in want:
+                shutil.rmtree(os.path.join(base_uri, name))
+                deleted.append(name)
+        return deleted
+    path, fs = hadoop_path(spark, base_uri)
+    if not fs.exists(path):
+        return deleted
+    for st in fs.listStatus(path):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        raw = name[len(prefix):]
+        val = raw if raw == _HIVE_NULL else _unescape_hive(raw)
+        if val in want:
+            fs.delete(st.getPath(), True)
+            deleted.append(name)
+    return deleted

@@ -138,7 +138,19 @@ def run_validation(
             # dynamic partition overwrite on source: a partial resume
             # rewrites ONLY the revalidated sources' files — a plain
             # overwrite replaced the whole directory with the subset,
-            # silently discarding the skipped partitions' rows
+            # silently discarding the skipped partitions' rows.
+            # But dynamic overwrite only touches partitions PRESENT in
+            # viol_out: a revalidated source that is now CLEAN emits zero
+            # violation rows, so its stale partition from the prior run
+            # would survive and read as phantom violations. Drop every
+            # todo source's partition dir first; the write then recreates
+            # exactly the ones that still have violations.
+            fsutil.delete_partition_dirs(
+                spark,
+                run_dir.rstrip("/") + "/violations.parquet",
+                "source",
+                list(todo),
+            )
             viol_out.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("source").parquet(

@@ -71,13 +71,26 @@ def save_state(state_dir: str, state: dict[str, Any]) -> str:
     return p
 
 
+def _canon_file(uri: str) -> str:
+    """Canonical form of a file URI for state keys. ``inputFiles()`` and
+    ``input_file_name()`` can disagree on URL-encoding (a path with a
+    space is ``%20`` in one and literal in the other); without a shared
+    canonicalisation every new file would silently key-miss and take the
+    empty-summary fallback — an empty schema with no error."""
+    from urllib.parse import unquote
+
+    return unquote(uri)
+
+
 def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     """Distinct file names backing ``path``, from the file index
     (``DataFrame.inputFiles``) — NO Spark job. The previous
     implementation ran input_file_name() + distinct + collect, a full
     corpus scan whose cost grew with TOTAL data size on every
     incremental run — the exact rescan the module contract forbids."""
-    return sorted(spark.read.parquet(path).inputFiles())
+    return sorted(
+        _canon_file(f) for f in spark.read.parquet(path).inputFiles()
+    )
 
 
 def infer_incremental(
@@ -125,10 +138,22 @@ def infer_incremental(
             .select("_file", column)
         )
         partials = _grouped_partials(df, column, "_file", config)
+        new_set = set(new_files)
         for r in _merge_summaries(partials).collect():
             if r["error"]:
                 raise SchemaInferenceError(r["error"])
-            known[r["group"]] = {
+            key = _canon_file(r["group"])
+            if key not in new_set:
+                # a key outside the listed file set means the two
+                # attribution paths disagree in a way canonicalisation
+                # did not cover — failing loudly beats silently dropping
+                # the real summary and folding an empty one
+                raise SchemaInferenceError(
+                    f"per-file attribution key {r['group']!r} not in the "
+                    f"listed input files; encoding mismatch between "
+                    f"input_file_name() and inputFiles()"
+                )
+            known[key] = {
                 "summary": json.loads(r["summary"]),
                 "processed": int(r["processed"]),
             }

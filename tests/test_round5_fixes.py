@@ -1,0 +1,191 @@
+"""Round-5 regression tests: the ADVICE r04 findings.
+
+1. fsutil.write_text/read_text must REFUSE a remote URI with spark=None
+   (previously: silent local write to a literal "s3a:" directory).
+2. fsutil.delete_partition_dirs — the dynamic-partition-overwrite
+   stale-violation fix's primitive (Hive unescape + matched delete).
+3. jobs.run_validation: a revalidated source that is now CLEAN must not
+   leave its stale violations.parquet partition behind (dynamic overwrite
+   only rewrites partitions present in the written data).
+4. incremental: per-file attribution keys survive URL-encoding
+   divergence between input_file_name() and inputFiles() (paths with
+   spaces), instead of silently folding an empty summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_genson_spark import fsutil
+from polars_genson_spark.config import ValidationConfig
+from polars_genson_spark.fsutil import _unescape_hive, delete_partition_dirs
+from polars_genson_spark.jobs import run_validation
+from polars_genson_spark.operators.incremental import infer_incremental
+
+
+# ---------------------------------------------------------------------------
+# 1. remote URI + spark=None must raise, not silently take the local path
+# ---------------------------------------------------------------------------
+
+
+def test_write_text_remote_requires_spark(tmp_path):
+    with pytest.raises(ValueError, match="requires a SparkSession"):
+        fsutil.write_text(None, "s3a://bucket/run/manifest.json", "{}")
+    # and nothing was written locally (the old bug created ./s3a:/...)
+    assert not os.path.exists("s3a:")
+
+
+def test_read_text_remote_requires_spark():
+    with pytest.raises(ValueError, match="requires a SparkSession"):
+        fsutil.read_text(None, "hdfs://nn/run/manifest.json")
+
+
+def test_local_paths_still_work_without_spark(tmp_path):
+    p = str(tmp_path / "note.txt")
+    fsutil.write_text(None, p, "hello")
+    assert fsutil.read_text(None, p) == "hello"
+
+
+# ---------------------------------------------------------------------------
+# 2. Hive partition-dir unescape + targeted delete
+# ---------------------------------------------------------------------------
+
+
+def test_unescape_hive():
+    assert _unescape_hive("plain") == "plain"
+    assert _unescape_hive("a%20b") == "a b"
+    assert _unescape_hive("x%3Ay%2Fz") == "x:y/z"
+    # malformed escapes pass through untouched
+    assert _unescape_hive("100%zz") == "100%zz"
+    assert _unescape_hive("tail%2") == "tail%2"
+
+
+def test_delete_partition_dirs_local(tmp_path):
+    base = tmp_path / "violations.parquet"
+    for d in ("source=web-01", "source=a%20b", "source=__HIVE_DEFAULT_PARTITION__", "source=keep"):
+        (base / d).mkdir(parents=True)
+        (base / d / "part-0.parquet").write_bytes(b"x")
+    deleted = delete_partition_dirs(
+        None, str(base), "source", ["web-01", "a b", None]
+    )
+    assert sorted(deleted) == [
+        "source=__HIVE_DEFAULT_PARTITION__",
+        "source=a%20b",
+        "source=web-01",
+    ]
+    assert sorted(os.listdir(base)) == ["source=keep"]
+    # idempotent on a now-absent set / absent base dir
+    assert delete_partition_dirs(None, str(base), "source", ["web-01"]) == []
+    assert delete_partition_dirs(
+        None, str(tmp_path / "missing"), "source", ["x"]
+    ) == []
+
+
+def test_parquet_sizes_remote_recursive(spark, tmp_path):
+    """Hadoop globStatus has no recursive '**': a remote directory
+    partitioned 2+ levels deep returned (0, 0) and downstream sized the
+    write at max(1, 0) partitions. The listFiles(recursive) rewrite must
+    see depth-2 files through the file:// (remote-branch) scheme."""
+    base = tmp_path / "deep"
+    for split in ("train", "val"):
+        d = base / f"split={split}" / "source=web"
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"0123456789")
+    n, total = fsutil.parquet_sizes(spark, f"file://{base}")
+    assert n == 2 and total == 20
+    # local branch agrees
+    assert fsutil.parquet_sizes(spark, str(base)) == (2, 20)
+    # absent dir → (0, 0), not an exception
+    assert fsutil.parquet_sizes(spark, f"file://{tmp_path}/nope") == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# 3. revalidated-clean source clears its stale violations partition
+# ---------------------------------------------------------------------------
+
+
+def _mini_corpus(spark, web_consistent: bool):
+    """Two sources; 'books' carries a permanent consistency violation
+    (so violations.parquet never goes fully empty), 'web' is dirty or
+    clean per the flag. Changing the flag changes web's fingerprint, so
+    resume revalidates exactly that source."""
+    rows = []
+    for i in range(50):
+        toks = [1, 2, 3]
+        n = 3 if (web_consistent or i % 5) else 2  # every 5th row dirty
+        rows.append((f"w{i}", toks, n, "web"))
+    for i in range(50):
+        n = 3 if i % 5 else 2
+        rows.append((f"b{i}", [4, 5, 6], n, "books"))
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_revalidated_clean_source_clears_stale_violations(spark, tmp_path):
+    run_dir = str(tmp_path / "run")
+    allowed = spark.createDataFrame(
+        [("web",), ("books",)], "source string"
+    )
+    cfg = ValidationConfig(check_drift=False)
+
+    r1 = run_validation(
+        spark, _mini_corpus(spark, web_consistent=False), allowed, run_dir,
+        cfg=cfg,
+    )
+    viol_path = run_dir + "/violations.parquet"
+    v1 = spark.read.parquet(viol_path)
+    assert v1.where(F.col("source") == "web").count() > 0
+    assert v1.where(F.col("source") == "books").count() > 0
+    assert not r1["all_passed"]
+
+    # web is now clean; books unchanged → only web revalidates
+    r2 = run_validation(
+        spark, _mini_corpus(spark, web_consistent=True), allowed, run_dir,
+        cfg=cfg,
+    )
+    assert r2["validated"] == ["web"]
+    assert r2["skipped"] == ["books"]
+    v2 = spark.read.parquet(viol_path)
+    # the stale source=web partition must be GONE, books' preserved
+    assert v2.where(F.col("source") == "web").count() == 0
+    assert v2.where(F.col("source") == "books").count() > 0
+    assert r2["partitions"]["web"]["passed"]
+
+
+# ---------------------------------------------------------------------------
+# 4. incremental inference with URL-encodable characters in the path
+# ---------------------------------------------------------------------------
+
+
+def test_infer_incremental_path_with_space(spark, tmp_path):
+    data = str(tmp_path / "dir with space" / "data")
+    state = str(tmp_path / "state")
+    df = spark.createDataFrame(
+        [(json.dumps({"a": 1, "b": "x"}),), (json.dumps({"a": 2}),)],
+        "j string",
+    )
+    df.coalesce(1).write.mode("append").parquet(data)
+
+    r1 = infer_incremental(spark, data, state, "j")
+    # the old code keyed state by %20-encoded input_file_name while
+    # listing unencoded inputFiles — every file took the empty-summary
+    # fallback, yielding processed_count == 0 and an empty schema
+    assert r1.processed_count == 2
+    assert sorted(r1.schema["properties"]) == ["a", "b"]
+    assert r1.schema["required"] == ["a"]
+    # state keys are canonical (no %20)
+    for f in r1.new_files:
+        assert "%20" not in f and "dir with space" in f
+
+    # incremental append still attributes per-file under the spaced path
+    df2 = spark.createDataFrame([(json.dumps({"c": True}),)], "j string")
+    df2.coalesce(1).write.mode("append").parquet(data)
+    r2 = infer_incremental(spark, data, state, "j")
+    assert r2.processed_count == 3
+    assert len(r2.new_files) == 1 and len(r2.reused_files) == 1
+    assert "c" in r2.schema["properties"]
