@@ -1078,21 +1078,30 @@ def q_split_corpus(spark, sf_dir):
 def q_codec_features(spark, sf_dir):
     """REAL decode of REAL encoded bytes on the executors: PNG images and
     PCM16 WAV audio (this repo's stdlib-only codecs, no PIL/ffmpeg) →
-    16-dim features inside mapInPandas. rows-only: the FFT band powers
-    and histogram are numpy-computed, not SQL-expressible."""
+    16-dim features inside mapInPandas, exploded to (media_id, kind,
+    band, power). VALUE-ORACLED since r5: DuckDB has no FFT/zlib, but
+    the media is seed-deterministic and the per-row kernel
+    (multimodal.real_features — verified independently by the codec unit
+    tests) is importable driver-side, so the oracle pins every band
+    power as a VALUES literal; any drift in the DISTRIBUTED path
+    (partitioning, Arrow batching, decode-on-executor) flips the hash."""
     from polars_genson_spark.operators.multimodal import (
         extract_features,
         synthesize_codec_media,
     )
 
     media = synthesize_codec_media(spark, 120, seed=11)
-    return extract_features(media, decoder="real")
+    out = extract_features(media, decoder="real")
+    return out.select(
+        "media_id", "kind", F.posexplode("features").alias("band", "power")
+    )
 
 
 def q_pcm_audio_features(spark, sf_dir):
-    """REAL DSP on synthetic raw PCM (multimodal.pcm_features): rows-only
-    because DuckDB has no FFT — correctness is pinned by unit tests
-    against closed-form sine expectations."""
+    """REAL DSP on synthetic raw PCM (multimodal.pcm_features).
+    VALUE-ORACLED since r5 via the same shared-kernel VALUES pattern as
+    codec_features (kernel correctness itself is pinned by unit tests
+    against closed-form sine expectations)."""
     from polars_genson_spark.operators.multimodal import (
         pcm_features,
         synthesize_raw_media,
@@ -1393,6 +1402,63 @@ def _centroid_values(dim: int, n_clusters: int, seed: int) -> str:
         lit = "[" + ",".join(repr(x / nrm) for x in c) + "]"
         rows.append(f"({i}, {lit}::DOUBLE[])")
     return ",\n".join(rows)
+
+
+def _pcm_oracle_sql(n_rows: int, seed: int) -> str:
+    """VALUES-literal oracle for pcm_audio_features: the media synthesis
+    and the per-row DSP kernel are pure Python (module-level in
+    multimodal.py), so the driver can compute the EXACT expected floats
+    and DuckDB pins them — the comparison then verifies the distributed
+    mapInPandas plumbing end-to-end (VERDICT r04 #4; same pattern as the
+    ANN centroid literals)."""
+    from polars_genson_spark.operators.multimodal import (
+        pcm_feature_row,
+        raw_media_row,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        media_id, buf, meta = raw_media_row(i, seed)
+        if meta["kind"] != "audio":  # pcm_features filters to audio rows
+            continue
+        n, rms, zcr, cent = pcm_feature_row(buf)
+        rows.append(
+            f"('{media_id}', {int(n)}, {float(rms)!r}, {float(zcr)!r}, "
+            f"{float(cent)!r})"
+        )
+    return (
+        "SELECT media_id, CAST(n_samples AS INT) AS n_samples, "
+        "CAST(rms AS DOUBLE) AS rms, CAST(zcr AS DOUBLE) AS zcr, "
+        "CAST(spectral_centroid AS DOUBLE) AS spectral_centroid "
+        "FROM (VALUES " + ",\n".join(rows)
+        + ") AS t(media_id, n_samples, rms, zcr, spectral_centroid)"
+    )
+
+
+def _codec_oracle_sql(n_rows: int, seed: int) -> str:
+    """VALUES-literal oracle for codec_features: synthesize the same
+    encoded bytes (WAV/PNG), decode + featurize with the same shared
+    kernel driver-side, pin every (media_id, kind, band, power) cell."""
+    from polars_genson_spark.operators.multimodal import (
+        codec_media_row,
+        real_features,
+    )
+
+    rows = []
+    for i in range(n_rows):
+        media_id, buf, meta = codec_media_row(i, seed)
+        feats = real_features(buf, meta)
+        for band, power in enumerate(feats):
+            rows.append(
+                f"('{media_id}', '{meta['kind']}', {band}, "
+                f"{float(power)!r})"
+            )
+    return (
+        "SELECT media_id, kind, CAST(band AS INT) AS band, "
+        "CAST(power AS DOUBLE) AS power "
+        "FROM (VALUES " + ",\n".join(rows)
+        + ") AS t(media_id, kind, band, power)"
+    )
 
 
 def _semantic_dedup_sql(
@@ -2826,8 +2892,14 @@ def oracle_sql() -> dict[str, str]:
                    16 AS dim
             FROM generate_series(0, 199) t(i)
         """,
+        # DSP/codec paths: DuckDB computes no FFT/zlib, but the synth is
+        # seed-deterministic and the per-row kernels are pure Python —
+        # the oracle pins the exact expected cells as VALUES literals
+        # computed driver-side from the SAME module-level kernels the
+        # executors run (shared-kernel pattern, like the ANN centroids)
+        "pcm_audio_features": _pcm_oracle_sql(n_rows=64, seed=3),
+        "codec_features": _codec_oracle_sql(n_rows=120, seed=11),
         # Intentionally rows-only (no SQL oracle), one line each:
-        # pcm_audio_features:   numpy FFT features — no SQL FFT in DuckDB
         # minhash_near_dupes:   signatures are xxhash64-permutations — engine-specific
         # simhash_fingerprints: 64-bit xxhash64 word hashes — engine-specific
         # simhash_near_pairs:   pairs derive from the engine-specific simhash bits

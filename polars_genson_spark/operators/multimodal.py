@@ -84,6 +84,38 @@ def _fake_features(data: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return list(np.round(arr / 65535.0, 6))
 
 
+def real_features(buf: bytes, meta: dict) -> list[float]:
+    """Per-row REAL feature kernel (decode + 16-dim features) — module
+    level, so the executor path (``extract_features``) and the driver-
+    side oracle-literal builder (``__spark_entry__``'s codec oracle)
+    share ONE implementation: the oracle then verifies the distributed
+    plumbing (partitioning, Arrow batching, schema), not a reimplemented
+    formula."""
+    mime = (meta["mime"] or "").lower()
+    if mime == "image/png":
+        return _gray_hist16(_to_gray(decode_png(buf)))
+    if mime == "image/x-raw-gray":
+        return _gray_hist16(np.frombuffer(buf or b"", dtype=np.uint8))
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave", "audio/l16"):
+        if mime == "audio/l16":
+            x = np.frombuffer(buf or b"", dtype="<i2")
+        else:
+            x, _sr = decode_wav(buf)
+        x = x.astype(np.float64) / 32768.0
+        if x.size == 0:
+            return [0.0] * FEATURE_DIM
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        bands = np.array_split(spec, FEATURE_DIM)
+        power = np.array([float(b.mean()) if b.size else 0.0
+                          for b in bands])
+        return list(np.round(np.log10(power + 1e-12), 6))
+    raise NotImplementedError(
+        f"decoding {mime!r} requires PIL/ffmpeg — not available in "
+        "this environment (png/wav/raw decode natively; use "
+        "decoder='fake' for opaque payloads)"
+    )
+
+
 def extract_features(
     df: DataFrame, decoder: str = "fake", batch_note_col: str = "batch_rows"
 ) -> DataFrame:
@@ -105,31 +137,6 @@ def extract_features(
         "media_id string, kind string, features array<double>, "
         f"{batch_note_col} int"
     )
-
-    def real_features(buf: bytes, meta: dict) -> list[float]:
-        mime = (meta["mime"] or "").lower()
-        if mime == "image/png":
-            return _gray_hist16(_to_gray(decode_png(buf)))
-        if mime == "image/x-raw-gray":
-            return _gray_hist16(np.frombuffer(buf or b"", dtype=np.uint8))
-        if mime in ("audio/wav", "audio/x-wav", "audio/wave", "audio/l16"):
-            if mime == "audio/l16":
-                x = np.frombuffer(buf or b"", dtype="<i2")
-            else:
-                x, _sr = decode_wav(buf)
-            x = x.astype(np.float64) / 32768.0
-            if x.size == 0:
-                return [0.0] * FEATURE_DIM
-            spec = np.abs(np.fft.rfft(x)) ** 2
-            bands = np.array_split(spec, FEATURE_DIM)
-            power = np.array([float(b.mean()) if b.size else 0.0
-                              for b in bands])
-            return list(np.round(np.log10(power + 1e-12), 6))
-        raise NotImplementedError(
-            f"decoding {mime!r} requires PIL/ffmpeg — not available in "
-            "this environment (png/wav/raw decode natively; use "
-            "decoder='fake' for opaque payloads)"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,6 +212,48 @@ def sample_frames(
 # ---------------------------------------------------------------------------
 
 
+def raw_media_row(i: int, seed: int = 42) -> tuple:
+    """Deterministic per-id RAW media row — module level so the
+    executor generator and the oracle-literal builder share it (even
+    ids: 0.5 s of 16 kHz PCM sine + noise; odd ids: raw grayscale
+    gradient)."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    if i % 2 == 0:  # audio: 0.5 s of 16 kHz PCM
+        sr = 16_000
+        n = sr // 2
+        freq = 200.0 + (i % 20) * 100.0
+        t = np.arange(n) / sr
+        x = 0.5 * np.sin(2 * np.pi * freq * t)
+        x = x + 0.001 * rng.standard_normal(n)
+        pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
+        return (
+            f"m-{i:06d}",
+            pcm.tobytes(),
+            {
+                "kind": "audio",
+                "mime": "audio/L16",
+                "width": None,
+                "height": None,
+                "duration_ms": 500,
+            },
+        )
+    # image: raw grayscale gradient
+    w, h = 64 + (i % 5) * 16, 48 + (i % 3) * 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((xx + yy) * 255 // (w + h - 2)).astype(np.uint8)
+    return (
+        f"m-{i:06d}",
+        img.tobytes(),
+        {
+            "kind": "image",
+            "mime": "image/x-raw-gray",
+            "width": w,
+            "height": h,
+            "duration_ms": None,
+        },
+    )
+
+
 def synthesize_raw_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     """Raw-format media table: audio rows carry int16 little-endian PCM
     (a per-id sine + deterministic noise), image rows carry a raw uint8
@@ -215,51 +264,35 @@ def synthesize_raw_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for i in pdf["id"]:
-                i = int(i)
-                rng = np.random.default_rng(seed * 1_000_003 + i)
-                if i % 2 == 0:  # audio: 0.5 s of 16 kHz PCM
-                    sr = 16_000
-                    n = sr // 2
-                    freq = 200.0 + (i % 20) * 100.0
-                    t = np.arange(n) / sr
-                    x = 0.5 * np.sin(2 * np.pi * freq * t)
-                    x = x + 0.001 * rng.standard_normal(n)
-                    pcm = np.clip(x * 32767, -32768, 32767).astype("<i2")
-                    out.append(
-                        (
-                            f"m-{i:06d}",
-                            pcm.tobytes(),
-                            {
-                                "kind": "audio",
-                                "mime": "audio/L16",
-                                "width": None,
-                                "height": None,
-                                "duration_ms": 500,
-                            },
-                        )
-                    )
-                else:  # image: raw grayscale gradient + noise
-                    w, h = 64 + (i % 5) * 16, 48 + (i % 3) * 16
-                    yy, xx = np.mgrid[0:h, 0:w]
-                    img = ((xx + yy) * 255 // (w + h - 2)).astype(np.uint8)
-                    out.append(
-                        (
-                            f"m-{i:06d}",
-                            img.tobytes(),
-                            {
-                                "kind": "image",
-                                "mime": "image/x-raw-gray",
-                                "width": w,
-                                "height": h,
-                                "duration_ms": None,
-                            },
-                        )
-                    )
+            out = [raw_media_row(int(i), seed) for i in pdf["id"]]
             yield pd.DataFrame(out, columns=["media_id", "media", "meta"])
 
     return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def pcm_feature_row(buf, sample_rate: int = 16_000) -> tuple:
+    """(n_samples, rms, zcr, spectral_centroid) for one PCM16 buffer —
+    the per-row kernel of :func:`pcm_features`, module level so the
+    oracle-literal builder pins the SAME computation the executors run."""
+    x = np.frombuffer(buf or b"", dtype="<i2").astype(np.float64) / 32768.0
+    n = int(x.size)
+    if n == 0:
+        return (0, 0.0, 0.0, 0.0)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = (
+        float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:])))
+        if n > 1
+        else 0.0
+    )
+    # POWER spectrum: a magnitude-weighted centroid is pulled toward
+    # sr/4 by any broadband noise floor (4000 small bins outweigh one
+    # large one); squaring restores the perceptually meaningful
+    # dominant-frequency weighting
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
+    denom = float(spec.sum())
+    cent = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+    return (n, round(rms, 6), round(zcr, 6), round(cent, 3))
 
 
 def pcm_features(
@@ -275,33 +308,10 @@ def pcm_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, buf in zip(pdf["media_id"], pdf["media"]):
-                x = (
-                    np.frombuffer(buf or b"", dtype="<i2").astype(np.float64)
-                    / 32768.0
-                )
-                n = int(x.size)
-                if n == 0:
-                    rows.append((mid, 0, 0.0, 0.0, 0.0))
-                    continue
-                rms = float(np.sqrt(np.mean(x * x)))
-                zcr = (
-                    float(np.mean(np.signbit(x[:-1]) != np.signbit(x[1:])))
-                    if n > 1
-                    else 0.0
-                )
-                # POWER spectrum: a magnitude-weighted centroid is pulled
-                # toward sr/4 by any broadband noise floor (4000 small
-                # bins outweigh one large one); squaring restores the
-                # perceptually meaningful dominant-frequency weighting
-                spec = np.abs(np.fft.rfft(x)) ** 2
-                freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate)
-                denom = float(spec.sum())
-                cent = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
-                rows.append(
-                    (mid, n, round(rms, 6), round(zcr, 6), round(cent, 3))
-                )
+            rows = [
+                (mid, *pcm_feature_row(buf, sample_rate))
+                for mid, buf in zip(pdf["media_id"], pdf["media"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -599,6 +609,31 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, MEDIA_SCHEMA)
 
 
+def codec_media_row(i: int, seed: int = 42) -> tuple:
+    """Deterministic per-id ENCODED media row (even: PCM16 WAV, odd:
+    grayscale PNG) — module level so the executor generator and the
+    oracle-literal builder share it."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    if i % 2 == 0:
+        sr = 16_000
+        t = np.arange(sr // 4) / sr
+        freq = 220.0 + (i % 16) * 110.0
+        x = 0.4 * np.sin(2 * np.pi * freq * t)
+        x += 0.001 * rng.standard_normal(t.size)
+        pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+        return (f"m-{i:06d}", encode_wav(pcm, sr), {
+            "kind": "audio", "mime": "audio/wav",
+            "width": None, "height": None, "duration_ms": 250,
+        })
+    w, h = 48 + (i % 4) * 16, 32 + (i % 3) * 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = ((xx * yy) % 251).astype(np.uint8)
+    return (f"m-{i:06d}", encode_png(img), {
+        "kind": "image", "mime": "image/png",
+        "width": w, "height": h, "duration_ms": None,
+    })
+
+
 def synthesize_codec_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
     """Deterministic REAL-format media table: even ids carry PCM16 WAV
     audio, odd ids carry 8-bit grayscale PNG images — real encoded bytes
@@ -608,29 +643,7 @@ def synthesize_codec_media(spark, n_rows: int, seed: int = 42) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for i in pdf["id"]:
-                i = int(i)
-                rng = np.random.default_rng(seed * 1_000_003 + i)
-                if i % 2 == 0:
-                    sr = 16_000
-                    t = np.arange(sr // 4) / sr
-                    freq = 220.0 + (i % 16) * 110.0
-                    x = 0.4 * np.sin(2 * np.pi * freq * t)
-                    x += 0.001 * rng.standard_normal(t.size)
-                    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
-                    out.append((f"m-{i:06d}", encode_wav(pcm, sr), {
-                        "kind": "audio", "mime": "audio/wav",
-                        "width": None, "height": None, "duration_ms": 250,
-                    }))
-                else:
-                    w, h = 48 + (i % 4) * 16, 32 + (i % 3) * 16
-                    yy, xx = np.mgrid[0:h, 0:w]
-                    img = ((xx * yy) % 251).astype(np.uint8)
-                    out.append((f"m-{i:06d}", encode_png(img), {
-                        "kind": "image", "mime": "image/png",
-                        "width": w, "height": h, "duration_ms": None,
-                    }))
+            out = [codec_media_row(int(i), seed) for i in pdf["id"]]
             yield pd.DataFrame(out, columns=["media_id", "media", "meta"])
 
     return base.mapInPandas(gen, MEDIA_SCHEMA)
