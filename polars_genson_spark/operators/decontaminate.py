@@ -30,15 +30,23 @@ def contaminated_docs(
 ) -> DataFrame:
     """(doc_id, n_shared) for corpus docs sharing >= min_shared distinct
     word n-grams with the benchmark set."""
+    # Both sides join on xxhash64(shingle) rather than the shingle string:
+    # 8-byte probe keys instead of ~20-40-byte strings shrink the
+    # broadcast table and the hash-probe work (measured 6-7% at sf0.1,
+    # tools_decon_bench.py; the win grows with shingle width). Collisions
+    # merge two distinct shingles with probability 2^-64 per pair —
+    # expected extra matches over a 10^10-shingle corpus x 10^6-shingle
+    # bench set ~ 5e-4, and the direction is over-drop, never a leak.
     bench_shingles = (
         with_shingles(benchmark, text_col, n)
         .select(F.explode("shingles").alias("shingle"))
+        .select(F.xxhash64("shingle").alias("_sh"))
         .distinct()
     )
     corpus_shingles = with_shingles(corpus, text_col, n).select(
         F.col(id_col), F.explode("shingles").alias("shingle")
-    )
-    hits = corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+    ).select(id_col, F.xxhash64("shingle").alias("_sh"))
+    hits = corpus_shingles.join(F.broadcast(bench_shingles), "_sh")
     return (
         hits.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared"))

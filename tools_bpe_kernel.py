@@ -42,7 +42,14 @@ def main() -> None:
         app_name="bpe-kernel", master="local[8]",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf* testdata vocabulary is tiny (31 unique words at sf0.1 —
+    # every lookup hits the cache and the kernel fraction reads ~0);
+    # point BPE_KERNEL_DOCS at a scale_docs corpus (20k-word Zipf vocab)
+    # for a representative measurement
+    docs_path = os.environ.get(
+        "BPE_KERNEL_DOCS", f"{sf_dir}/documents.parquet"
+    )
+    docs = spark.read.parquet(docs_path)
     merges, vocab = train_bpe_with_vocab(docs, n_merges=200)
     ranks = {pair: i for i, pair in enumerate(merges)}
 
@@ -89,7 +96,7 @@ def main() -> None:
     # 4. projection: compiled kernel = kernel_sec / 50, loop floor stays
     fast_sec = warm_sec + kernel_sec / 50.0
     out = {
-        "sf_dir": sf_dir,
+        "docs": docs_path,
         "sample_docs": len(texts),
         "words": n_words,
         "unique_words": len(uniq),
