@@ -21,17 +21,17 @@ step() { echo "=== $1 $(date -u +%H:%M:%S) ==="; }
 
 if [ ! -f "$D/documents/_SUCCESS" ]; then
   step generate-docs
-  /usr/bin/time -v python -m polars_genson_spark.jobs generate-docs \
+  python -m polars_genson_spark.jobs generate-docs \
     --output "$D/documents" --rows 30000000 --seed 42 \
     --embeddings-output "$D/embeddings" --embedding-rows 600000 \
     --embedding-dim 64 \
     --benchmark-output "$D/benchmark" \
     --benchmark-embeddings-output "$D/benchmark_embeddings" \
-    2> "$D/generate.time" | tee "$D/generate.json"
+    2>> "$D/generate.log" | tee "$D/generate.json"
 fi
 
 step curate
-/usr/bin/time -v python -m polars_genson_spark.jobs \
+python -m polars_genson_spark.jobs \
   --shuffle-partitions 256 curate \
   --input "$D/documents" --output "$D/chunks" \
   --benchmark "$D/benchmark" \
@@ -39,18 +39,18 @@ step curate
   --benchmark-embeddings "$D/benchmark_embeddings" \
   --chunk-size 128 --pack-context-len 512 --pack-pad-id 0 \
   --split 'train:98,val:1,test:1' --shuffle-seed 7 \
-  > "$D/curate.log" 2> "$D/curate.time" || { tail -50 "$D/curate.log"; exit 1; }
+  > "$D/curate.log" 2>> "$D/curate.log" || { tail -50 "$D/curate.log"; exit 1; }
 tail -5 "$D/curate.log"
 
 step tokenize
-/usr/bin/time -v python -m polars_genson_spark.jobs \
+python -m polars_genson_spark.jobs \
   --shuffle-partitions 256 tokenize \
   --input "$D/documents" --output "$D/tokens" \
   > "$D/tokenize.log" 2> "$D/tokenize.time" || { tail -50 "$D/tokenize.log"; exit 1; }
 tail -3 "$D/tokenize.log"
 
 step validate
-/usr/bin/time -v python -m polars_genson_spark.jobs \
+python -m polars_genson_spark.jobs \
   --shuffle-partitions 256 validate \
   --input "$D/tokens" --output "$D/validation" \
   > "$D/validate.log" 2> "$D/validate.time" || true
