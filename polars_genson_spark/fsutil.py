@@ -113,6 +113,24 @@ def parquet_sizes(spark: SparkSession, directory: str) -> tuple[int, int]:
     return count, total
 
 
+def delete_dir(spark: SparkSession | None, uri: str) -> None:
+    """Recursively delete a directory, local or remote (Hadoop FS).
+    Missing paths are a no-op. Used by the curate pipeline's reliable
+    checkpoints to retire the previous stage boundary."""
+    if not is_remote(uri):
+        import shutil
+
+        shutil.rmtree(uri, ignore_errors=True)
+        return
+    if spark is None:
+        raise ValueError(
+            f"delete_dir on remote URI {uri!r} needs a SparkSession"
+        )
+    path, fs = hadoop_path(spark, uri)
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 

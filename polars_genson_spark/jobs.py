@@ -550,6 +550,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--shuffle-seed", type=int, default=None,
                    help="seeded epoch shuffle of the final table (one "
                         "range exchange; layout-independent total order)")
+    c.add_argument("--checkpoint-dir", default=None,
+                   help="reliable stage checkpoints: write each stage "
+                        "boundary here as parquet (deleting the previous "
+                        "one) instead of localCheckpoint — bounds local "
+                        "disk to ~2 stage snapshots; removed after the "
+                        "final output is written")
 
     sv = sub.add_parser(
         "stream-validate",
@@ -745,6 +751,7 @@ def main(argv: list[str] | None = None) -> int:
                 split_weights=split_weights,
                 split_seed=args.split_seed,
                 shuffle_seed=args.shuffle_seed,
+                checkpoint_dir=args.checkpoint_dir,
             )
             result = curate(
                 docs, benchmark, cfg,
@@ -753,6 +760,10 @@ def main(argv: list[str] | None = None) -> int:
                 counts=not args.no_counts,
             )
             result.chunks.write.mode("overwrite").parquet(args.output)
+            if args.checkpoint_dir:
+                # the final stage boundary fed the write above; the
+                # checkpoint tree is now garbage
+                fsutil.delete_dir(spark, args.checkpoint_dir)
             summary = result.summary()
             if args.no_counts:
                 summary["written"] = spark.read.parquet(args.output).count()

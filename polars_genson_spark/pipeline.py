@@ -99,6 +99,15 @@ class CurateConfig:
     # partition-layout-independent total order, so written shards stream
     # in shuffled order
     shuffle_seed: int | None = None
+    # reliable stage checkpoints (None = localCheckpoint): write each
+    # stage boundary to <checkpoint_dir>/NN_stage parquet and re-read,
+    # deleting the PREVIOUS boundary as soon as the new one lands. Same
+    # lineage truncation as localCheckpoint, but disk holds at most two
+    # compressed columnar snapshots instead of every stage's RDD block
+    # set — at 30M rows the block sets exhausted a 76 GB disk while the
+    # parquet path peaks under ~10 GB. Also the executor-loss-safe
+    # pattern for real clusters (point it at HDFS/S3).
+    checkpoint_dir: str | None = None
 
 
 @dataclass
@@ -176,17 +185,48 @@ def curate(
     stage_counts: dict[str, int] = {}
     stage_seconds: dict[str, float] = {}
     last_boundary = time.monotonic()
+    ckpt_state: dict[str, Any] = {"idx": 0, "prev": None}
 
     def stage(df: DataFrame, name: str) -> DataFrame:
-        # localCheckpoint at every stage boundary: materialises the
-        # stage once (no stage lineage ever executes twice) AND truncates
-        # the logical plan — chaining eight stages incl. the 32-agg MinHash
-        # and the iterative clustering otherwise grows a plan tree large
-        # enough to OOM the driver just STRINGIFYING it. At cluster scale
-        # swap for reliable checkpoints (spark.sparkContext.setCheckpointDir)
-        # if executor loss matters; the shape is identical.
+        # A boundary at every stage: materialises the stage once (no
+        # stage lineage ever executes twice) AND truncates the logical
+        # plan — chaining eight stages incl. the 32-agg MinHash and the
+        # iterative clustering otherwise grows a plan tree large enough
+        # to OOM the driver just STRINGIFYING it.
+        #
+        # Two boundary mechanisms:
+        # - default: localCheckpoint. Zero-copy fast, but every stage's
+        #   RDD block set stays pinned on local disk until the END of
+        #   the run (ContextCleaner frees blocks only when the JVM GCs
+        #   the RDD, which driver-held references prevent) — fine at
+        #   10M rows, exhausted a 76 GB disk at 30M.
+        # - cfg.checkpoint_dir: write the boundary to parquet, re-read,
+        #   and DELETE the previous boundary immediately — disk is
+        #   bounded by two compressed columnar snapshots regardless of
+        #   stage count, and a System.gc() nudge lets ContextCleaner
+        #   release the now-unreachable shuffle files of the stage just
+        #   retired. This is also the executor-loss-safe cluster shape
+        #   (reliable checkpoint to HDFS/S3).
         nonlocal last_boundary
-        df = df.localCheckpoint(eager=counts)
+        if cfg.checkpoint_dir is not None and name != "input":
+            # "input" is a bare parquet scan — re-writing the whole
+            # corpus would cost a full copy for zero lineage benefit
+            from . import fsutil
+
+            spark = df.sparkSession
+            out = (
+                f"{cfg.checkpoint_dir.rstrip('/')}/"
+                f"{ckpt_state['idx']:02d}_{name}"
+            )
+            ckpt_state["idx"] += 1
+            df.write.mode("overwrite").parquet(out)
+            df = spark.read.parquet(out)
+            if ckpt_state["prev"] is not None:
+                fsutil.delete_dir(spark, ckpt_state["prev"])
+            ckpt_state["prev"] = out
+            spark.sparkContext._jvm.System.gc()
+        else:
+            df = df.localCheckpoint(eager=counts)
         if counts:
             stage_counts[name] = df.count()
             now = time.monotonic()

@@ -39,6 +39,7 @@ python -m polars_genson_spark.jobs \
   --benchmark-embeddings "$D/benchmark_embeddings" \
   --chunk-size 128 --pack-context-len 512 --pack-pad-id 0 \
   --split 'train:98,val:1,test:1' --shuffle-seed 7 \
+  --minhash-bucket-max 2000 --checkpoint-dir "$D/.ckpt" \
   > "$D/curate.log" 2>> "$D/curate.log" || { tail -50 "$D/curate.log"; exit 1; }
 tail -5 "$D/curate.log"
 
