@@ -185,7 +185,13 @@ def curate(
     stage_counts: dict[str, int] = {}
     stage_seconds: dict[str, float] = {}
     last_boundary = time.monotonic()
-    ckpt_state: dict[str, Any] = {"idx": 0, "prev": None}
+    # "retire" is every live boundary, oldest first; stage() deletes all
+    # but the newest (the one feeding the next stage). Aux boundaries
+    # written INSIDE a stage stay alive until that stage's own boundary
+    # lands — the invariant is that `cur` always reads from the newest
+    # stage boundary, and aux tables are only consumed before the next
+    # stage() call.
+    ckpt_state: dict[str, Any] = {"idx": 0, "retire": []}
 
     def stage(df: DataFrame, name: str) -> DataFrame:
         # A boundary at every stage: materialises the stage once (no
@@ -211,20 +217,10 @@ def curate(
         if cfg.checkpoint_dir is not None and name != "input":
             # "input" is a bare parquet scan — re-writing the whole
             # corpus would cost a full copy for zero lineage benefit
-            from . import fsutil
-
-            spark = df.sparkSession
-            out = (
-                f"{cfg.checkpoint_dir.rstrip('/')}/"
-                f"{ckpt_state['idx']:02d}_{name}"
-            )
-            ckpt_state["idx"] += 1
-            df.write.mode("overwrite").parquet(out)
-            df = spark.read.parquet(out)
-            if ckpt_state["prev"] is not None:
-                fsutil.delete_dir(spark, ckpt_state["prev"])
-            ckpt_state["prev"] = out
-            spark.sparkContext._jvm.System.gc()
+            df = _ckpt_write(df, name)
+            # aux boundaries written inside this stage are garbage once
+            # the stage boundary itself has landed
+            _ckpt_retire(df.sparkSession)
         else:
             df = df.localCheckpoint(eager=counts)
         if counts:
@@ -233,6 +229,46 @@ def curate(
             stage_seconds[name] = round(now - last_boundary, 3)
             last_boundary = now
         return df
+
+    def _ckpt_write(df: DataFrame, name: str) -> DataFrame:
+        spark = df.sparkSession
+        out = (
+            f"{cfg.checkpoint_dir.rstrip('/')}/"
+            f"{ckpt_state['idx']:02d}_{name}"
+        )
+        ckpt_state["idx"] += 1
+        df.write.mode("overwrite").parquet(out)
+        df = spark.read.parquet(out)
+        ckpt_state["retire"].append(out)
+        # the JVM GC nudge lets ContextCleaner free the shuffle files
+        # and persisted blocks of the lineage this write just retired
+        spark.sparkContext._jvm.System.gc()
+        return df
+
+    def _ckpt_retire(spark) -> None:
+        # delete every boundary except the newest (still feeding the
+        # next stage): disk holds at most two snapshots at any moment
+        from . import fsutil
+
+        retire = ckpt_state["retire"]
+        for old in retire[:-1]:
+            fsutil.delete_dir(spark, old)
+        ckpt_state["retire"] = retire[-1:]
+
+    def aux_boundary(df: DataFrame, name: str) -> DataFrame:
+        """Intra-stage reliable boundary (no-op without checkpoint_dir):
+        the near-dup stage chains minhash banding → hot-bucket cap →
+        candidate join → shingle-explode verify → connected components,
+        and the CC step runs SEVERAL actions over the verified edges —
+        each action re-executes the whole upstream lineage, duplicating
+        its (tens-of-GB at 30M rows) shuffle files on local disk until
+        the stage ends. Writing the KB..MB-sized candidate and edge
+        tables to parquet retires those shuffles immediately; measured
+        as the difference between a disk-exhaustion abort and a ~10 GB
+        peak at 30M rows on a 76 GB disk."""
+        if cfg.checkpoint_dir is None:
+            return df
+        return _ckpt_write(df, name)
 
     cur = stage(docs, "input")
 
@@ -254,6 +290,7 @@ def curate(
             min_jaccard=cfg.min_jaccard,
             bucket_max=cfg.minhash_bucket_max,
         ).select("id_a", "id_b")
+        cand = aux_boundary(cand, "near_candidates")
         cand_docs = (
             cand.select(F.col("id_a").alias(cfg.id_col))
             .unionByName(cand.select(F.col("id_b").alias(cfg.id_col)))
@@ -268,6 +305,7 @@ def curate(
             min_jaccard=cfg.min_jaccard,
             df_max=cfg.jaccard_df_max,
         )
+        verified = aux_boundary(verified, "near_verified")
         clusters = near_dup_clusters(verified, method=cfg.cluster_method)
         losers = clusters.where(
             F.col("doc_id") != F.col("cluster_id")
