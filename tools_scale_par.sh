@@ -23,7 +23,7 @@ run_one() {  # cores label round
   SPARK_GRAFT_CPUS=$cores taskset -c 0-$((cores - 1)) \
     python -m polars_genson_spark.jobs --shuffle-partitions $((cores * 8)) \
     validate --input "$D/tokens" --output "$out" --no-resume \
-    > "$D/par_${label}_r${rnd}.log" 2>&1
+    > "$D/par_${label}_r${rnd}.log" 2>&1 || true  # exit 1 = planted all_passed:false
   local t1=$(date +%s.%N)
   echo "$cores $rnd $(echo "$t1 $t0" | awk '{printf "%.1f", $1-$2}')"
 }

@@ -55,13 +55,13 @@ step "phase 3: resume validate on the mutated table, SIGKILL mid-flight"
 python -m polars_genson_spark.jobs --shuffle-partitions 256 validate \
   --input "$D/tokens_mut" --output "$D/run_b" > "$D/resume_p3.log" 2>&1 &
 PID=$!
-sleep 45
+sleep 18
 if kill -0 $PID 2>/dev/null; then
   kill -9 $PID
-  echo "killed validate pid $PID at t=45s"
+  echo "killed validate pid $PID at t=18s"
   wait $PID 2>/dev/null || true
 else
-  echo "WARNING: validate finished before the kill (t<45s)"
+  echo "WARNING: validate finished before the kill (t<18s)"
 fi
 
 step "phase 4: manifest un-torn?"
@@ -91,9 +91,19 @@ python - <<'EOF'
 import json
 import duckdb
 
-p5 = json.loads(open(".scale30m/resume_p5.log").read().strip().splitlines()[-1])
-assert p5["validated"] == ["books"], p5["validated"]
-assert len(p5["skipped"]) == 5, p5["skipped"]
+p5 = json.loads([l for l in open(".scale30m/resume_p5.log").read().splitlines() if l.strip().startswith("{")][-1])
+mb0 = json.load(open(".scale30m/run_b/manifest.json"))
+if p5["validated"] == ["books"]:
+    # kill landed pre-commit: the resume redid exactly the mutated source
+    assert len(p5["skipped"]) == 5, p5["skipped"]
+elif p5["validated"] == []:
+    # kill landed in the window after the manifest rename: phase 3
+    # already committed the books revalidation, so a correct resume has
+    # nothing left to do — the manifest must say books was the one redone
+    assert mb0.get("validated_partitions") == ["books"], mb0
+    assert len(p5["skipped"]) == 6, p5["skipped"]
+else:
+    raise AssertionError(p5["validated"])
 print("resume scoped to the mutated source only: OK validated=", p5["validated"], "skipped=", p5["skipped"])
 
 def verdicts(path):
