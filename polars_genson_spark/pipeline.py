@@ -214,13 +214,19 @@ def curate(
         #   retired. This is also the executor-loss-safe cluster shape
         #   (reliable checkpoint to HDFS/S3).
         nonlocal last_boundary
-        if cfg.checkpoint_dir is not None and name != "input":
-            # "input" is a bare parquet scan — re-writing the whole
-            # corpus would cost a full copy for zero lineage benefit
-            df = _ckpt_write(df, name)
-            # aux boundaries written inside this stage are garbage once
-            # the stage boundary itself has landed
-            _ckpt_retire(df.sparkSession)
+        if cfg.checkpoint_dir is not None:
+            if name != "input":
+                df = _ckpt_write(df, name)
+                # aux boundaries written inside this stage are garbage
+                # once the stage boundary itself has landed
+                _ckpt_retire(df.sparkSession)
+            # "input" gets NO boundary in this mode: a bare parquet scan
+            # has a trivial plan (nothing to truncate) and only stage 1
+            # reads it — re-writing it would cost a full corpus copy,
+            # and a localCheckpoint would pin the whole corpus's
+            # deserialized block set on local disk for the run's
+            # duration, which is the exact cost checkpoint_dir exists
+            # to avoid
         else:
             df = df.localCheckpoint(eager=counts)
         if counts:
