@@ -17,7 +17,13 @@ algorithm (Sennrich et al. 2016) in the shape a 100 TB pipeline needs:
   each distinct word is BPE-segmented once (Zipf makes the cache hit
   rate extreme on natural text). This is the honest Python path — a
   production deployment swaps the inner loop for a compiled tokenizer
-  with the SAME Spark plumbing.
+  with the SAME Spark plumbing. Measured boundary (``tools_bpe_kernel
+  .py``, 20k Zipf-vocab docs, transcribed in BENCH.md): ``_segment``
+  costs ~9.5 μs/word but the cache hit rate is 96.7%, so the kernel
+  owns only ~24–29% of apply-loop time; a 50× compiled ``_segment``
+  projects to just 1.31–1.39× tokens/s. The real compiled win requires
+  replacing the whole per-word loop (split + cache + extend), not the
+  segmentation kernel alone.
 
 Determinism: pair-count ties break lexicographically, so a merge table
 trained from the same rollup is identical on every run and machine.
