@@ -189,3 +189,34 @@ def test_infer_incremental_path_with_space(spark, tmp_path):
     assert r2.processed_count == 3
     assert len(r2.new_files) == 1 and len(r2.reused_files) == 1
     assert "c" in r2.schema["properties"]
+
+
+# ---------------------------------------------------------------------------
+# 5. delete_partition_dirs vs SPARK'S OWN partition-path escaping
+# ---------------------------------------------------------------------------
+
+
+def test_delete_partition_dirs_matches_spark_escaping(spark, tmp_path):
+    """The unit test above fabricates dir names by hand; this one lets
+    Spark write `partitionBy("source")` with special-char values and
+    asserts the unescape-and-match delete finds the dirs SPARK created.
+    If Spark's escape table ever diverges from what _unescape_hive can
+    invert, the stale-violation fix would silently no-op — this pins it."""
+    base = str(tmp_path / "part")
+    values = ["plain", "a b", "x:y", "pct%40", None]
+    df = spark.createDataFrame(
+        [(v, 1) for v in values], "source string, v int"
+    )
+    df.write.partitionBy("source").parquet(base)
+    names = sorted(os.listdir(base))
+    # delete the two special-char ones plus the null partition
+    deleted = delete_partition_dirs(spark, base, "source", ["a b", "x:y", None])
+    assert len(deleted) == 3, (deleted, names)
+    remaining = [n for n in os.listdir(base) if n.startswith("source=")]
+    kept_vals = {
+        _unescape_hive(n[len("source="):]) for n in remaining
+    }
+    assert kept_vals == {"plain", "pct%40"}
+    # the kept data still reads back
+    back = spark.read.parquet(base)
+    assert {r["source"] for r in back.collect()} == {"plain", "pct%40"}
