@@ -946,6 +946,7 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
 
+            t0 = time.perf_counter()
             result = run_validation(
                 spark,
                 corpus,
@@ -958,6 +959,13 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 resume=not args.no_resume,
             )
+            # in-job wall (post-session, scan->verdicts->writes): the
+            # scaling-criterion runs divide rows by THIS when comparing
+            # N vs 4N — JVM/session startup is a per-run constant that
+            # amortizes to nil at the north rule's 10^12-sequence scale,
+            # so including it would understate large-N efficiency on
+            # short calibration corpora
+            result = {**result, "wall_s": round(time.perf_counter() - t0, 1)}
             print(json.dumps({k: v for k, v in result.items() if k != "partitions"}))
             return 0 if result["all_passed"] else 1
     finally:

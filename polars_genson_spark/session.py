@@ -30,6 +30,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # scale runners set this to "false": progress bars bloat captured
+        # logs ~100x and can push the final JSON line past tail windows
+        .config(
+            "spark.ui.showConsoleProgress",
+            os.environ.get("SPARK_GRAFT_CONSOLE_PROGRESS", "true"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # managed (bucketed) tables land outside the repo unless the
         # caller points the warehouse somewhere durable
