@@ -81,10 +81,20 @@ def run_validation(
     if not fsutil.is_remote(run_dir):
         os.makedirs(run_dir, exist_ok=True)
 
-    fingerprints = ckpt.partition_fingerprints(corpus, cfg)
     cfg_fp = ckpt.config_fingerprint(cfg)
     previous = ckpt.load_manifest(run_dir, spark=spark) if resume else None
-    todo, skipped = ckpt.plan_resume(fingerprints, previous, cfg_fp)
+    if previous is None:
+        # fresh run (first run, or --no-resume): nothing to skip, so no
+        # fingerprint is needed BEFORE validating — fold the content hash
+        # into the stats scan (validate_corpus with_fingerprint) instead
+        # of paying a separate full-corpus pass. The fingerprints are
+        # peeled out of the collected verdict rows below and recorded in
+        # the manifest exactly as the pre-scan would have.
+        fingerprints: dict[Any, int] = {}
+        todo, skipped = None, []
+    else:
+        fingerprints = ckpt.partition_fingerprints(corpus, cfg)
+        todo, skipped = ckpt.plan_resume(fingerprints, previous, cfg_fp)
 
     carried = {}
     if previous:
@@ -96,7 +106,18 @@ def run_validation(
 
     metrics: dict[str, dict[str, Any]] = {}
     summary: dict[str, Any] = {}
-    if todo:
+    report = None
+    if previous is None:
+        report = validate_corpus(corpus, allowed, cfg, with_fingerprint=True)
+        summary = finalise_summary(report)
+        for src_val, row in summary["per_partition"].items():
+            # same formula as checkpoint.partition_fingerprints: the
+            # bit_xor aggregate XORed with the row count
+            fingerprints[src_val] = int(row.pop("_fp") or 0) ^ int(
+                row["n_rows"]
+            )
+        todo = sorted(fingerprints, key=lambda s: (s is None, s or ""))
+    elif todo:
         # NULL is a legal source partition: isin() never matches NULL (and
         # str(None) would corrupt real values), so it gets its own branch
         named = [s for s in todo if s is not None]
@@ -115,6 +136,7 @@ def run_validation(
             drift_reference=corpus if skipped else None,
         )
         summary = finalise_summary(report)
+    if report is not None:
         metrics = {
             str(k): {kk: vv for kk, vv in v.items()}
             for k, v in summary["per_partition"].items()
@@ -156,7 +178,10 @@ def run_validation(
             ).partitionBy("source").parquet(
                 run_dir.rstrip("/") + "/violations.parquet"
             )
-            report.verdicts.write.mode("overwrite").option(
+            # _fp is a resume-internal column (fresh runs only): keep it
+            # out of verdicts.parquet so fresh and resumed writes into
+            # the same run_dir share one schema
+            report.verdicts.drop("_fp").write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy(cfg.source_col).parquet(
                 run_dir.rstrip("/") + "/verdicts.parquet"

@@ -60,6 +60,7 @@ def validate_corpus(
     cfg: ValidationConfig | None = None,
     exact_duplicates: bool = True,
     drift_reference: DataFrame | None = None,
+    with_fingerprint: bool = False,
 ) -> ValidationReport:
     """Run the full validation suite; returns per-source verdicts plus the
     violation rows (lazily evaluated DataFrames).
@@ -71,14 +72,31 @@ def validate_corpus(
     a from-scratch run. Passing the full corpus here restores identical
     baselines at the cost of one extra one-pass histogram rollup — the
     same cost class as the resume fingerprint scan. Only drift uses it;
-    stats and violations still cover ``df`` alone."""
+    stats and violations still cover ``df`` alone.
+
+    ``with_fingerprint``: also compute the resume content fingerprint
+    (bit_xor of per-row xxhash64 — checkpoint.partition_fingerprints'
+    aggregate) INSIDE the stats scan, emitted as verdict column ``_fp``.
+    A fresh run needs no fingerprints before validating, so folding the
+    hash into this pass retires what was a second full-corpus scan
+    (~20% of the 100M-row job's wall)."""
     cfg = cfg or ValidationConfig()
     spark = df.sparkSession
     c = F.col
     src = cfg.source_col
 
+    fp_cols = (
+        [
+            F.bit_xor(
+                F.xxhash64(cfg.doc_id_col, cfg.tokens_col, cfg.n_tok_col)
+            ).alias("_fp")
+        ]
+        if with_fingerprint
+        else []
+    )
     # ---- single-pass stats + HLL uniqueness (one shuffle, map-combined) ----
     base = df.groupBy(src).agg(
+        *fp_cols,
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(c(cfg.doc_id_col).isNull().cast("long")).alias("null_doc_id"),
         F.sum(c(cfg.tokens_col).isNull().cast("long")).alias("null_tokens"),

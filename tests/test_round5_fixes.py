@@ -220,3 +220,71 @@ def test_delete_partition_dirs_matches_spark_escaping(spark, tmp_path):
     # the kept data still reads back
     back = spark.read.parquet(base)
     assert {r["source"] for r in back.collect()} == {"plain", "pct%40"}
+
+
+# ---------------------------------------------------------------------------
+# 5. fingerprint fold: a fresh run computes the resume fingerprint INSIDE
+#    the stats scan (no separate full-corpus pass) — the folded value must
+#    byte-match checkpoint.partition_fingerprints, so a later resume over
+#    unchanged data skips everything
+# ---------------------------------------------------------------------------
+
+
+def test_fresh_run_folded_fingerprints_match_prescan(spark, tmp_path):
+    from polars_genson_spark import checkpoint as ckpt
+
+    run_dir = str(tmp_path / "runf")
+    allowed = spark.createDataFrame([("web",), ("books",)], "source string")
+    cfg = ValidationConfig(check_drift=False)
+    corpus = _mini_corpus(spark, web_consistent=True)
+
+    r1 = run_validation(spark, corpus, allowed, run_dir, cfg=cfg)
+    assert sorted(r1["validated"]) == ["books", "web"]
+
+    manifest = ckpt.load_manifest(run_dir, spark=spark)
+    pre = ckpt.partition_fingerprints(corpus, cfg)
+    assert {k: int(v) for k, v in manifest["fingerprints"].items()} == {
+        str(k): v for k, v in pre.items()
+    }
+    # the resume-internal _fp column must NOT leak into the outputs
+    verd = spark.read.parquet(run_dir + "/verdicts.parquet")
+    assert "_fp" not in verd.columns
+    assert all(
+        "_fp" not in p for p in manifest["partitions"].values()
+    )
+
+    # unchanged corpus → resume skips every partition (fingerprint parity)
+    r2 = run_validation(spark, corpus, allowed, run_dir, cfg=cfg)
+    assert r2["validated"] == []
+    assert sorted(r2["skipped"]) == ["books", "web"]
+
+
+def test_fresh_run_fold_with_null_source(spark, tmp_path):
+    """NULL is a legal source partition: the folded fingerprint path keys
+    it as None in per_partition and must round-trip through the manifest
+    so an unchanged-data resume skips it like any other partition."""
+    from polars_genson_spark import checkpoint as ckpt
+
+    run_dir = str(tmp_path / "runn")
+    allowed = spark.createDataFrame([("web",)], "source string")
+    cfg = ValidationConfig(check_drift=False)
+    rows = [(f"w{i}", [1, 2], 2, "web") for i in range(20)] + [
+        (f"n{i}", [3, 4], 2, None) for i in range(20)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+    r1 = run_validation(spark, corpus, allowed, run_dir, cfg=cfg)
+    assert sorted(r1["validated"]) == ["None", "web"]
+    pre = ckpt.partition_fingerprints(corpus, cfg)
+    manifest = ckpt.load_manifest(run_dir, spark=spark)
+    assert {k: int(v) for k, v in manifest["fingerprints"].items()} == {
+        str(k): v for k, v in pre.items()
+    }
+    # NULL source fails referential (not in allowed) but passes nothing
+    # silently: the partition must be present with passed=False
+    assert manifest["partitions"]["None"]["passed"] is False
+
+    r2 = run_validation(spark, corpus, allowed, run_dir, cfg=cfg)
+    assert r2["validated"] == [] and sorted(r2["skipped"]) == ["None", "web"]
