@@ -112,8 +112,14 @@ run_one() {  # cores label round
   echo "$cores $rnd outer=${outer}s injob=${injob:-NA}s calib_pre=${cpre}s calib_post=${cpost}s"
 }
 
+# N and 4N are overridable so the same harness evidences several
+# cluster-size pairs (e.g. SMALL=2 LARGE=8, the round-4 framing, and
+# SMALL=4 LARGE=16); ROUNDS likewise.
+SMALL=${SMALL:-4}
+LARGE=${LARGE:-16}
+ROUNDS=${ROUNDS:-3}
 echo "data=$D  cores round timings (base core $BASE; idle calib ~1.1s)"
-for rnd in 1 2 3; do
-  run_one 4 small $rnd
-  run_one 16 large $rnd
+for rnd in $(seq 1 "$ROUNDS"); do
+  run_one "$SMALL" "small${SMALL}" $rnd
+  run_one "$LARGE" "large${LARGE}" $rnd
 done
