@@ -82,16 +82,18 @@ class LoadSampler(threading.Thread):
         super().__init__(daemon=True)
         self.samples: list[float] = []
         self.interval = interval
-        self._stop = threading.Event()
+        # NB: must not be named _stop — that shadows Thread._stop, which
+        # join() calls internally (TypeError: 'Event' object is not callable)
+        self._halt = threading.Event()
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._halt.is_set():
             with open("/proc/loadavg") as f:
                 self.samples.append(float(f.read().split()[0]))
-            self._stop.wait(self.interval)
+            self._halt.wait(self.interval)
 
     def stop(self) -> list[float]:
-        self._stop.set()
+        self._halt.set()
         self.join()
         return self.samples
 
