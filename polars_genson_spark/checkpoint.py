@@ -55,6 +55,34 @@ def load_manifest(run_dir: str, spark=None) -> dict[str, Any] | None:
     return json.loads(text) if text is not None else None
 
 
+def delete_manifest(run_dir: str, spark=None) -> None:
+    """Remove a stale ``manifest.json`` (no-op if absent).
+
+    A FRESH run (``--no-resume`` into a reused run_dir) must call this
+    before its destructive output writes: if the job dies between
+    deleting the old violation partitions and writing the new ones, a
+    surviving stale manifest would make the next resumed run skip every
+    unchanged source — phantom-cleaning the violations that were just
+    deleted. With the manifest gone, that resume sees ``previous=None``
+    and revalidates from scratch, which is the correct recovery."""
+    from . import fsutil
+
+    if fsutil.is_remote(run_dir):
+        if spark is None:
+            raise ValueError(
+                f"delete_manifest on remote {run_dir!r} needs a SparkSession"
+            )
+        path, fs = fsutil.hadoop_path(
+            spark, run_dir.rstrip("/") + "/" + MANIFEST_NAME
+        )
+        if fs.exists(path):
+            fs.delete(path, False)
+        return
+    path = os.path.join(run_dir, MANIFEST_NAME)
+    if os.path.exists(path):
+        os.remove(path)
+
+
 def save_manifest(run_dir: str, manifest: dict[str, Any], spark=None) -> str:
     from . import fsutil
 

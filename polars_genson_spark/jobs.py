@@ -167,6 +167,18 @@ def run_validation(
             # would survive and read as phantom violations. Drop every
             # todo source's partition dir first; the write then recreates
             # exactly the ones that still have violations.
+            if previous is None:
+                # fresh run into a possibly-reused run_dir: a crash
+                # between the partition-dir deletes below and the write
+                # must NOT leave a stale manifest behind — a later
+                # resumed run would match its fingerprints (data
+                # unchanged), skip every source, and phantom-clean the
+                # violations deleted here. Dropping the manifest first
+                # makes that crash recover as a full fresh revalidation.
+                # (Resumed runs keep theirs: their todo sources' old
+                # fingerprints no longer match, so the next resume
+                # revalidates exactly the deleted partitions anyway.)
+                ckpt.delete_manifest(run_dir, spark=spark)
             fsutil.delete_partition_dirs(
                 spark,
                 run_dir.rstrip("/") + "/violations.parquet",

@@ -288,3 +288,75 @@ def test_fresh_run_fold_with_null_source(spark, tmp_path):
 
     r2 = run_validation(spark, corpus, allowed, run_dir, cfg=cfg)
     assert r2["validated"] == [] and sorted(r2["skipped"]) == ["None", "web"]
+
+
+# ---------------------------------------------------------------------------
+# 6. fresh-rerun crash window: stale manifest must not phantom-clean
+# ---------------------------------------------------------------------------
+
+
+def test_delete_manifest_unit(tmp_path):
+    from polars_genson_spark import checkpoint as ckpt
+
+    run_dir = str(tmp_path / "rd")
+    ckpt.save_manifest(run_dir, {"partitions": {}, "fingerprints": {}})
+    assert ckpt.load_manifest(run_dir) is not None
+    ckpt.delete_manifest(run_dir)
+    assert ckpt.load_manifest(run_dir) is None
+    ckpt.delete_manifest(run_dir)  # absent → no-op, not an exception
+
+
+def test_fresh_run_deletes_manifest_before_partition_dirs(
+    spark, tmp_path, monkeypatch
+):
+    """The fix's ORDER pin: on a --no-resume rerun into a reused run_dir,
+    the stale manifest must already be gone by the time the violation
+    partition dirs are dropped. Otherwise a crash between the two leaves
+    (old manifest, deleted partitions) and the next resume skips every
+    unchanged source — phantom-cleaning the violations."""
+    from polars_genson_spark import checkpoint as ckpt
+    from polars_genson_spark import jobs as jobs_mod
+
+    run_dir = str(tmp_path / "run")
+    allowed = spark.createDataFrame([("web",), ("books",)], "source string")
+    cfg = ValidationConfig(check_drift=False)
+    corpus = _mini_corpus(spark, web_consistent=False)
+    run_validation(spark, corpus, allowed, run_dir, cfg=cfg)
+    assert ckpt.load_manifest(run_dir) is not None
+
+    seen: dict[str, bool] = {}
+    real = fsutil.delete_partition_dirs
+
+    def spying(spark_, base_uri, col, values):
+        seen["manifest_gone"] = ckpt.load_manifest(run_dir) is None
+        return real(spark_, base_uri, col, values)
+
+    monkeypatch.setattr(jobs_mod.fsutil, "delete_partition_dirs", spying)
+    run_validation(spark, corpus, allowed, run_dir, cfg=cfg, resume=False)
+    assert seen["manifest_gone"] is True
+
+
+def test_fresh_rerun_crash_recovers_by_full_revalidation(spark, tmp_path):
+    """Simulate the crash itself: fresh rerun died right after its
+    deletes (manifest + todo partition dirs gone, nothing rewritten).
+    A later default-resume run must see previous=None and revalidate
+    everything, restoring violations.parquet."""
+    from polars_genson_spark import checkpoint as ckpt
+
+    run_dir = str(tmp_path / "run")
+    allowed = spark.createDataFrame([("web",), ("books",)], "source string")
+    cfg = ValidationConfig(check_drift=False)
+    corpus = _mini_corpus(spark, web_consistent=False)
+    run_validation(spark, corpus, allowed, run_dir, cfg=cfg)
+
+    # the interrupted fresh rerun's destructive prefix, then "crash"
+    ckpt.delete_manifest(run_dir)
+    delete_partition_dirs(
+        None, run_dir + "/violations.parquet", "source", ["web", "books"]
+    )
+
+    r = run_validation(spark, corpus, allowed, run_dir, cfg=cfg)  # resume=True
+    assert sorted(r["validated"]) == ["books", "web"] and r["skipped"] == []
+    v = spark.read.parquet(run_dir + "/violations.parquet")
+    assert v.where(F.col("source") == "web").count() > 0
+    assert v.where(F.col("source") == "books").count() > 0
