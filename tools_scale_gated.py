@@ -160,16 +160,24 @@ def main() -> None:
     ap.add_argument("--quiet-timeout", type=float, default=900.0)
     args = ap.parse_args()
 
-    base = pick_base()
     results: list[dict] = []
     for rnd in range(1, args.rounds + 1):
         pair = {}
         for side, cores in (("small", args.small), ("large", args.large)):
             for att in range(1, args.attempts + 1):
+                # re-probe EVERY attempt: co-tenants move between halves
+                # over the minutes a round takes, so a base picked once
+                # at startup goes stale and every retry inherits the
+                # same contended half
+                base = pick_base()
                 if not wait_quiet(base, args.quiet_thresh, args.quiet_timeout):
                     print(f"r{rnd} {side}: quiet-wait timed out, running anyway", flush=True)
                 rec = run_once(args.data, base, cores, f"{side}{cores}_r{rnd}")
-                rec.update({"round": rnd, "side": side, "attempt": att})
+                rec.update({
+                    "round": rnd, "side": side, "attempt": att,
+                    "base": base,
+                    "t": time.strftime("%H:%M:%S"),
+                })
                 print(json.dumps(rec), flush=True)
                 results.append(rec)
                 if rec["clean"]:
