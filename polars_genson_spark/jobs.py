@@ -141,7 +141,46 @@ def run_validation(
             str(k): {kk: vv for kk, vv in v.items()}
             for k, v in summary["per_partition"].items()
         }
-        if write_outputs:
+    if write_outputs:
+        viol_dir = run_dir.rstrip("/") + "/violations.parquet"
+        verd_dir = run_dir.rstrip("/") + "/verdicts.parquet"
+        if previous is None:
+            # fresh run into a possibly-reused run_dir: EVERYTHING on
+            # disk is stale — including partitions of sources absent
+            # from this corpus entirely, which are in nobody's todo list
+            # so per-partition deletes cannot reach them. Drop both
+            # output dirs wholesale; the writes below rebuild them.
+            # Manifest first: if the job dies between these deletes and
+            # the writes, a surviving stale manifest would make the next
+            # resumed run skip every unchanged source — phantom-cleaning
+            # the outputs deleted here. With the manifest gone, that
+            # resume sees previous=None and revalidates from scratch.
+            ckpt.delete_manifest(run_dir, spark=spark)
+            fsutil.delete_dir(spark, viol_dir)
+            fsutil.delete_dir(spark, verd_dir)
+        else:
+            # sources in the prior manifest but absent from this corpus:
+            # dynamic overwrite never touches their partitions and the
+            # rebuilt manifest silently drops them — their stale
+            # violations/verdicts rows must go too or readers see
+            # phantom data. This runs even when todo is empty: a source
+            # can vanish without any surviving source changing.
+            current = {str(s) for s in fingerprints}
+            vanished = [
+                k for k in previous.get("partitions", {}) if k not in current
+            ]
+            if vanished:
+                # manifest keys are str(source): "None" may name a NULL
+                # partition (__HIVE_DEFAULT_PARTITION__) or a literal
+                # "None" string source — delete both spellings
+                vals: list[Any] = list(vanished)
+                if "None" in vanished:
+                    vals.append(None)
+                fsutil.delete_partition_dirs(spark, viol_dir, "source", vals)
+                fsutil.delete_partition_dirs(
+                    spark, verd_dir, cfg.source_col, vals
+                )
+        if report is not None:
             viol_out = report.violations
             if cfg.max_violation_examples:
                 # bound the EXAMPLES written per (source, check) — a
@@ -166,38 +205,21 @@ def run_validation(
             # violation rows, so its stale partition from the prior run
             # would survive and read as phantom violations. Drop every
             # todo source's partition dir first; the write then recreates
-            # exactly the ones that still have violations.
-            if previous is None:
-                # fresh run into a possibly-reused run_dir: a crash
-                # between the partition-dir deletes below and the write
-                # must NOT leave a stale manifest behind — a later
-                # resumed run would match its fingerprints (data
-                # unchanged), skip every source, and phantom-clean the
-                # violations deleted here. Dropping the manifest first
-                # makes that crash recover as a full fresh revalidation.
-                # (Resumed runs keep theirs: their todo sources' old
-                # fingerprints no longer match, so the next resume
-                # revalidates exactly the deleted partitions anyway.)
-                ckpt.delete_manifest(run_dir, spark=spark)
-            fsutil.delete_partition_dirs(
-                spark,
-                run_dir.rstrip("/") + "/violations.parquet",
-                "source",
-                list(todo),
-            )
+            # exactly the ones that still have violations. (Fresh runs
+            # already dropped the whole directory above.)
+            if previous is not None:
+                fsutil.delete_partition_dirs(
+                    spark, viol_dir, "source", list(todo)
+                )
             viol_out.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
-            ).partitionBy("source").parquet(
-                run_dir.rstrip("/") + "/violations.parquet"
-            )
+            ).partitionBy("source").parquet(viol_dir)
             # _fp is a resume-internal column (fresh runs only): keep it
             # out of verdicts.parquet so fresh and resumed writes into
             # the same run_dir share one schema
             report.verdicts.drop("_fp").write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
-            ).partitionBy(cfg.source_col).parquet(
-                run_dir.rstrip("/") + "/verdicts.parquet"
-            )
+            ).partitionBy(cfg.source_col).parquet(verd_dir)
 
     manifest = ckpt.build_manifest(
         fingerprints,

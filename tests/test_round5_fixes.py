@@ -360,3 +360,79 @@ def test_fresh_rerun_crash_recovers_by_full_revalidation(spark, tmp_path):
     v = spark.read.parquet(run_dir + "/violations.parquet")
     assert v.where(F.col("source") == "web").count() > 0
     assert v.where(F.col("source") == "books").count() > 0
+
+
+# ---------------------------------------------------------------------------
+# 8. vanished sources must not leave phantom violations/verdicts behind
+# ---------------------------------------------------------------------------
+
+
+def _two_source_corpus(spark, with_web: bool):
+    """'books' carries a permanent consistency violation; 'web' (also
+    dirty) exists only when ``with_web``. Dropping web from the corpus
+    must drop its violations/verdicts partitions from disk too."""
+    rows = []
+    if with_web:
+        rows += [
+            (f"w{i}", [1, 2, 3], 3 if i % 5 else 2, "web") for i in range(50)
+        ]
+    rows += [
+        (f"b{i}", [4, 5, 6], 3 if i % 5 else 2, "books") for i in range(50)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+
+
+def test_vanished_source_cleared_on_resume(spark, tmp_path):
+    """books is untouched (todo is EMPTY on the second run — the cleanup
+    must not hide inside the revalidation write path), web vanishes."""
+    run_dir = str(tmp_path / "run")
+    allowed = spark.createDataFrame([("web",), ("books",)], "source string")
+    cfg = ValidationConfig(check_drift=False)
+
+    run_validation(
+        spark, _two_source_corpus(spark, True), allowed, run_dir, cfg=cfg
+    )
+    viol = spark.read.parquet(run_dir + "/violations.parquet")
+    assert viol.where(F.col("source") == "web").count() > 0
+
+    r2 = run_validation(
+        spark, _two_source_corpus(spark, False), allowed, run_dir, cfg=cfg
+    )
+    assert r2["validated"] == []
+    assert r2["skipped"] == ["books"]
+    viol = spark.read.parquet(run_dir + "/violations.parquet")
+    verd = spark.read.parquet(run_dir + "/verdicts.parquet")
+    assert viol.where(F.col("source") == "web").count() == 0
+    assert verd.where(F.col("source") == "web").count() == 0
+    # the surviving source's rows are intact
+    assert viol.where(F.col("source") == "books").count() > 0
+    assert verd.where(F.col("source") == "books").count() == 1
+    assert "web" not in r2["partitions"]
+
+
+def test_vanished_source_cleared_on_fresh_rerun(spark, tmp_path):
+    """--no-resume into a reused run_dir: the whole stale output tree is
+    rebuilt, including partitions of sources absent from the new corpus
+    (which are in nobody's todo list)."""
+    run_dir = str(tmp_path / "run")
+    allowed = spark.createDataFrame([("web",), ("books",)], "source string")
+    cfg = ValidationConfig(check_drift=False)
+
+    run_validation(
+        spark, _two_source_corpus(spark, True), allowed, run_dir, cfg=cfg
+    )
+    run_validation(
+        spark,
+        _two_source_corpus(spark, False),
+        allowed,
+        run_dir,
+        cfg=cfg,
+        resume=False,
+    )
+    viol = spark.read.parquet(run_dir + "/violations.parquet")
+    verd = spark.read.parquet(run_dir + "/verdicts.parquet")
+    assert viol.where(F.col("source") == "web").count() == 0
+    assert verd.where(F.col("source") == "web").count() == 0
+    assert viol.where(F.col("source") == "books").count() > 0
