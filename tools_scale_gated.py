@@ -149,6 +149,38 @@ def run_once(data: str, base: int, cores: int, tag: str) -> dict:
     return rec
 
 
+def hw_ceiling(base: int, small: int, large: int, kernels: int = 32) -> dict:
+    """Pure-CPU hardware ceiling for this core pair, in this window:
+    time a FIXED total work (``kernels`` kernel calls) with ``small``
+    workers vs ``large`` workers pinned to the same 16-core half, best
+    of 2. The host itself does not scale linearly (shared memory bus,
+    co-tenants), so a job's measured efficiency is bounded by this —
+    the engine-attributable figure is job_eff / hw_eff."""
+    import multiprocessing as mp
+
+    prev = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, set(range(base, base + 16)))
+    try:
+        times = {}
+        for w in (small, large):
+            best = None
+            for _ in range(2):
+                with mp.get_context("fork").Pool(w) as p:
+                    t0 = time.perf_counter()
+                    p.map(_kern, range(kernels))
+                    dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[w] = best
+    finally:
+        os.sched_setaffinity(0, prev)
+    eff = times[small] / (large / small) / times[large]
+    return {
+        "hw_small_s": round(times[small], 2),
+        "hw_large_s": round(times[large], 2),
+        "hw_eff": round(eff, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("data")
@@ -187,9 +219,24 @@ def main() -> None:
             eff = (
                 pair["small"]["injob_s"] / pair["large"]["injob_s"]
             ) / (args.large / args.small)
+            # same-window hardware ceiling on the quieter half, so the
+            # round's ratio can be read against what the host offered
+            hw = hw_ceiling(pick_base(), args.small, args.large)
+            rec = {
+                "round": rnd,
+                "side": "summary",
+                "efficiency": round(eff, 3),
+                **hw,
+                "engine_vs_hw": round(eff / hw["hw_eff"], 3)
+                if hw["hw_eff"]
+                else None,
+            }
+            results.append(rec)
             print(
                 f"ROUND {rnd}: small={pair['small']['injob_s']}s "
-                f"large={pair['large']['injob_s']}s efficiency={eff:.3f}",
+                f"large={pair['large']['injob_s']}s efficiency={eff:.3f} "
+                f"hw_eff={hw['hw_eff']} "
+                f"engine_vs_hw={rec['engine_vs_hw']}",
                 flush=True,
             )
     with open(os.path.join(args.data, "gated_results.json"), "w") as f:
