@@ -648,12 +648,15 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--max-words", type=int, default=50_000)
     tk.add_argument(
         "--apply-method",
-        choices=["inplace", "join"],
+        choices=["inplace", "loop", "join"],
         default="inplace",
-        help="inplace: zero-shuffle mapInPandas with a seeded per-word "
-             "cache (Python per word occurrence); join: posexplode + "
-             "segment unique words only + regroup (two corpus shuffles, "
-             "Python per UNIQUE word). See BENCH.md for the measured A/B",
+        help="inplace: zero-shuffle mapInArrow with a seeded per-word "
+             "cache and vectorized ragged-gather reassembly (Python per "
+             "unique word per batch); loop: the reference per-word-"
+             "occurrence Python loop (same output, bit-identical — kept "
+             "for parity runs); join: posexplode + segment unique words "
+             "only + regroup (two corpus shuffles). See BENCH.md for "
+             "the measured A/Bs",
     )
 
     b = sub.add_parser("bench-one", help="one pinned throughput measurement")
@@ -844,14 +847,16 @@ def main(argv: list[str] | None = None) -> int:
                 max_words=args.max_words,
                 return_words=True,
             )
-            if getattr(args, "apply_method", "inplace") == "join":
+            method = getattr(args, "apply_method", "inplace")
+            if method == "join":
                 toks = bpe_tokenize_ids_join(docs, merges, vocab)
             else:
                 # seed the apply cache with the training rollup's words:
                 # segmented once on the driver, broadcast once per
                 # executor
                 toks = bpe_tokenize_ids(
-                    docs, merges, vocab, seed_words=words
+                    docs, merges, vocab, seed_words=words,
+                    impl="loop" if method == "loop" else "vector",
                 )
             if "source" in docs.columns:
                 toks = toks.join(

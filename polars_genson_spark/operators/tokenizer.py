@@ -198,6 +198,113 @@ def _make_apply(
     return run
 
 
+def _make_apply_arrow(
+    id_col: str,
+    text_col: str,
+    out_col: str,
+    n_col: str,
+    seed_bc,
+    cache_max: int,
+    segment_word,
+    token_pa_type,
+):
+    """Vectorized ``mapInArrow`` apply kernel — same contract as
+    :func:`_make_apply` (bit-identical output, pinned by
+    ``tests/test_bpe_vector.py``), different inner shape: instead of a
+    Python loop per word OCCURRENCE, each Arrow batch is
+
+    1. regex-split per doc (the one remaining per-doc Python step;
+       ``re`` runs in C),
+    2. ``pd.factorize`` over the flattened word stream (C hash — this
+       replaces the per-occurrence dict lookups),
+    3. seed/cache/segment per UNIQUE word only (the Zipf head collapses
+       here exactly as it does in the loop kernel's cache),
+    4. the per-occurrence token stream is reassembled with ragged-gather
+       index arithmetic (``np.repeat`` + cumsum) and a single Arrow
+       ``take`` — no per-token Python objects are ever created,
+    5. per-doc boundaries become ``ListArray`` offsets directly, so the
+       output RecordBatch is built zero-copy from the flat token array.
+
+    Cache policy parity: same ``seed`` → ``cache`` → segment order and
+    the same clear-on-overflow bound; the only difference is that misses
+    are discovered per unique word per batch rather than per occurrence,
+    which changes nothing observable (``segment_word`` is pure)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from itertools import chain
+
+    def run(batches):
+        seed: dict = seed_bc.value if seed_bc else {}
+        cache: dict = {}
+        for batch in batches:
+            names = batch.schema.names
+            id_arr = batch.column(names.index(id_col))
+            texts = batch.column(names.index(text_col)).to_pylist()
+            word_lists = [_py_words(t) for t in texts]
+            n_words = np.fromiter(
+                (len(ws) for ws in word_lists),
+                dtype=np.int64,
+                count=len(word_lists),
+            )
+            flat_words = list(chain.from_iterable(word_lists))
+            if flat_words:
+                codes, uniques = pd.factorize(
+                    np.asarray(flat_words, dtype=object)
+                )
+                segs = []
+                for w in uniques:
+                    seg = seed.get(w)
+                    if seg is None:
+                        seg = cache.get(w)
+                    if seg is None:
+                        if len(cache) >= cache_max:
+                            cache.clear()
+                        seg = segment_word(w)
+                        cache[w] = seg
+                    segs.append(seg)
+                seg_lens = np.fromiter(
+                    (len(s) for s in segs), dtype=np.int64, count=len(segs)
+                )
+                # flat token table over UNIQUE words + start offsets
+                u_starts = np.zeros(len(segs) + 1, dtype=np.int64)
+                np.cumsum(seg_lens, out=u_starts[1:])
+                flat_unique = pa.array(
+                    list(chain.from_iterable(segs)), type=token_pa_type
+                )
+                # ragged gather: occurrence k (word code c) contributes
+                # tokens [u_starts[c], u_starts[c]+seg_lens[c]) at output
+                # position occ_starts[k]
+                occ_lens = seg_lens[codes]
+                occ_starts = np.zeros(len(codes) + 1, dtype=np.int64)
+                np.cumsum(occ_lens, out=occ_starts[1:])
+                total = int(occ_starts[-1])
+                out_idx = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(occ_starts[:-1], occ_lens)
+                    + np.repeat(u_starts[:-1][codes], occ_lens)
+                )
+                flat_tokens = flat_unique.take(pa.array(out_idx))
+                # doc boundaries in token space: word-space boundaries
+                # mapped through the occurrence-token cumsum
+                wb = np.zeros(len(word_lists) + 1, dtype=np.int64)
+                np.cumsum(n_words, out=wb[1:])
+                doc_offsets = occ_starts[wb]
+            else:
+                doc_offsets = np.zeros(len(word_lists) + 1, dtype=np.int64)
+                flat_tokens = pa.array([], type=token_pa_type)
+            ntok = np.diff(doc_offsets).astype(np.int32)
+            tokens_col = pa.ListArray.from_arrays(
+                pa.array(doc_offsets, type=pa.int32()), flat_tokens
+            )
+            yield pa.RecordBatch.from_arrays(
+                [id_arr, tokens_col, pa.array(ntok)],
+                [id_col, out_col, n_col],
+            )
+
+    return run
+
+
 def bpe_tokenize(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -206,6 +313,7 @@ def bpe_tokenize(
     out_col: str = "bpe_tokens",
     cache_max: int = 500_000,
     seed_words: list[str] | None = None,
+    impl: str = "vector",
 ) -> DataFrame:
     """(id, bpe_tokens array<string>, n_bpe) — merge table broadcast via
     closure, per-unique-word segmentation cache per partition, cleared
@@ -217,7 +325,14 @@ def bpe_tokenize(
     segmentations are computed ONCE on the driver and broadcast, so
     every partition starts with the Zipf head pre-segmented instead of
     re-deriving it per partition per executor — train once, broadcast
-    everywhere. The seed is immune to the overflow ``cache.clear()``."""
+    everywhere. The seed is immune to the overflow ``cache.clear()``.
+
+    ``impl``: ``"vector"`` (default) = the Arrow ragged-gather kernel
+    (:func:`_make_apply_arrow`; Python per unique word, token streams
+    assembled with numpy/Arrow); ``"loop"`` = the reference per-word
+    Python loop. Bit-identical outputs, pinned by
+    ``tests/test_bpe_vector.py``; measured A/B in BENCH.md."""
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -233,6 +348,12 @@ def bpe_tokenize(
         T.StructField("n_bpe", T.IntegerType()),
     ])
 
+    if impl == "vector":
+        run = _make_apply_arrow(
+            id_col, text_col, out_col, "n_bpe", seed_bc, cache_max,
+            lambda w: _segment(w, ranks), pa.string(),
+        )
+        return df.select(id_col, text_col).mapInArrow(run, out_schema)
     run = _make_apply(
         id_col, text_col, out_col, "n_bpe", seed_bc, cache_max,
         lambda w: _segment(w, ranks),
@@ -285,11 +406,13 @@ def bpe_tokenize_ids(
     id_col: str = "doc_id",
     cache_max: int = 500_000,
     seed_words: list[str] | None = None,
+    impl: str = "vector",
 ) -> DataFrame:
     """(doc_id, tokens array<int>, n_tok) — the pre-tokenized-corpus
     shape the validation engine consumes. Unknown tokens map to id 0.
-    Word split + cache + ``seed_words`` policy identical to
+    Word split + cache + ``seed_words`` + ``impl`` policy identical to
     :func:`bpe_tokenize`."""
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -306,9 +429,16 @@ def bpe_tokenize_ids(
         T.StructField("n_tok", T.IntegerType()),
     ])
 
+    segment_ids = lambda w: [vocab.get(s, 0) for s in _segment(w, ranks)]
+    if impl == "vector":
+        run = _make_apply_arrow(
+            id_col, text_col, "tokens", "n_tok", seed_bc, cache_max,
+            segment_ids, pa.int32(),
+        )
+        return df.select(id_col, text_col).mapInArrow(run, out_schema)
     run = _make_apply(
         id_col, text_col, "tokens", "n_tok", seed_bc, cache_max,
-        lambda w: [vocab.get(s, 0) for s in _segment(w, ranks)],
+        segment_ids,
     )
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
