@@ -190,10 +190,25 @@ def main() -> None:
     ap.add_argument("--attempts", type=int, default=4)
     ap.add_argument("--quiet-thresh", type=float, default=1.35)
     ap.add_argument("--quiet-timeout", type=float, default=900.0)
+    ap.add_argument(
+        "--start-round", type=int, default=1,
+        help="first round number (resume a killed multi-round run "
+             "without renumbering: round N's artifacts are tagged rN)",
+    )
     args = ap.parse_args()
 
+    # every record is ALSO appended to gated_results.jsonl the moment it
+    # exists: the first run of this tool was SIGKILLed between rounds
+    # and its completed round survived only in scrollback
+    jsonl = os.path.join(args.data, "gated_results.jsonl")
+
+    def emit(rec: dict) -> None:
+        print(json.dumps(rec), flush=True)
+        with open(jsonl, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     results: list[dict] = []
-    for rnd in range(1, args.rounds + 1):
+    for rnd in range(args.start_round, args.start_round + args.rounds):
         pair = {}
         for side, cores in (("small", args.small), ("large", args.large)):
             for att in range(1, args.attempts + 1):
@@ -210,7 +225,7 @@ def main() -> None:
                     "base": base,
                     "t": time.strftime("%H:%M:%S"),
                 })
-                print(json.dumps(rec), flush=True)
+                emit(rec)
                 results.append(rec)
                 if rec["clean"]:
                     pair[side] = rec
@@ -231,6 +246,7 @@ def main() -> None:
                 if hw["hw_eff"]
                 else None,
             }
+            emit(rec)
             results.append(rec)
             print(
                 f"ROUND {rnd}: small={pair['small']['injob_s']}s "
