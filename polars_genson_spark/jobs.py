@@ -648,15 +648,15 @@ def main(argv: list[str] | None = None) -> int:
     tk.add_argument("--max-words", type=int, default=50_000)
     tk.add_argument(
         "--apply-method",
-        choices=["inplace", "loop", "join"],
+        choices=["inplace", "vector", "join"],
         default="inplace",
-        help="inplace: zero-shuffle mapInArrow with a seeded per-word "
-             "cache and vectorized ragged-gather reassembly (Python per "
-             "unique word per batch); loop: the reference per-word-"
-             "occurrence Python loop (same output, bit-identical — kept "
-             "for parity runs); join: posexplode + segment unique words "
-             "only + regroup (two corpus shuffles). See BENCH.md for "
-             "the measured A/Bs",
+        help="inplace: zero-shuffle mapInPandas per-word loop with a "
+             "seeded per-word cache (the measured default — see the "
+             "BENCH.md round-5 kernel A/B); vector: mapInArrow "
+             "ragged-gather reassembly (bit-identical output, measured "
+             "slower: factorize re-hashes every occurrence); join: "
+             "posexplode + segment unique words only + regroup (two "
+             "corpus shuffles)",
     )
 
     b = sub.add_parser("bench-one", help="one pinned throughput measurement")
@@ -856,7 +856,7 @@ def main(argv: list[str] | None = None) -> int:
                 # executor
                 toks = bpe_tokenize_ids(
                     docs, merges, vocab, seed_words=words,
-                    impl="loop" if method == "loop" else "vector",
+                    impl="vector" if method == "vector" else "loop",
                 )
             if "source" in docs.columns:
                 toks = toks.join(

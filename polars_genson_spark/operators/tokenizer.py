@@ -313,7 +313,7 @@ def bpe_tokenize(
     out_col: str = "bpe_tokens",
     cache_max: int = 500_000,
     seed_words: list[str] | None = None,
-    impl: str = "vector",
+    impl: str = "loop",
 ) -> DataFrame:
     """(id, bpe_tokens array<string>, n_bpe) — merge table broadcast via
     closure, per-unique-word segmentation cache per partition, cleared
@@ -327,11 +327,16 @@ def bpe_tokenize(
     re-deriving it per partition per executor — train once, broadcast
     everywhere. The seed is immune to the overflow ``cache.clear()``.
 
-    ``impl``: ``"vector"`` (default) = the Arrow ragged-gather kernel
+    ``impl``: ``"loop"`` (default) = the per-word-occurrence Python
+    loop; ``"vector"`` = the Arrow ragged-gather kernel
     (:func:`_make_apply_arrow`; Python per unique word, token streams
-    assembled with numpy/Arrow); ``"loop"`` = the reference per-word
-    Python loop. Bit-identical outputs, pinned by
-    ``tests/test_bpe_vector.py``; measured A/B in BENCH.md."""
+    assembled with numpy/Arrow). Bit-identical outputs, pinned by
+    ``tests/test_bpe_vector.py``. The loop is the default because the
+    measured A/B (BENCH.md round-5) has it 1.7-1.8x FASTER at the
+    representative operating point: ``pd.factorize`` re-hashes every
+    occurrence (exactly what the loop's cache-dict lookup already
+    does), so vectorization only relocates the per-occurrence hash
+    while adding an O(tokens) gather pass."""
     import pyarrow as pa
     from pyspark.sql import types as T
 
@@ -406,7 +411,7 @@ def bpe_tokenize_ids(
     id_col: str = "doc_id",
     cache_max: int = 500_000,
     seed_words: list[str] | None = None,
-    impl: str = "vector",
+    impl: str = "loop",
 ) -> DataFrame:
     """(doc_id, tokens array<int>, n_tok) — the pre-tokenized-corpus
     shape the validation engine consumes. Unknown tokens map to id 0.
