@@ -306,14 +306,17 @@ def test_delete_manifest_unit(tmp_path):
     ckpt.delete_manifest(run_dir)  # absent → no-op, not an exception
 
 
-def test_fresh_run_deletes_manifest_before_partition_dirs(
+def test_fresh_run_deletes_manifest_before_output_dirs(
     spark, tmp_path, monkeypatch
 ):
     """The fix's ORDER pin: on a --no-resume rerun into a reused run_dir,
-    the stale manifest must already be gone by the time the violation
-    partition dirs are dropped. Otherwise a crash between the two leaves
-    (old manifest, deleted partitions) and the next resume skips every
-    unchanged source — phantom-cleaning the violations."""
+    the stale manifest must already be gone by the time the output dirs
+    are dropped. Otherwise a crash between the two leaves (old manifest,
+    deleted outputs) and the next resume skips every unchanged source —
+    phantom-cleaning the violations. Fresh runs drop the WHOLE
+    violations/verdicts dirs via fsutil.delete_dir (per-partition deletes
+    cannot reach sources absent from the new corpus), so that is the
+    destructive call the spy pins the ordering against."""
     from polars_genson_spark import checkpoint as ckpt
     from polars_genson_spark import jobs as jobs_mod
 
@@ -325,13 +328,14 @@ def test_fresh_run_deletes_manifest_before_partition_dirs(
     assert ckpt.load_manifest(run_dir) is not None
 
     seen: dict[str, bool] = {}
-    real = fsutil.delete_partition_dirs
+    real = fsutil.delete_dir
 
-    def spying(spark_, base_uri, col, values):
-        seen["manifest_gone"] = ckpt.load_manifest(run_dir) is None
-        return real(spark_, base_uri, col, values)
+    def spying(spark_, uri):
+        # record the state at the FIRST destructive delete only
+        seen.setdefault("manifest_gone", ckpt.load_manifest(run_dir) is None)
+        return real(spark_, uri)
 
-    monkeypatch.setattr(jobs_mod.fsutil, "delete_partition_dirs", spying)
+    monkeypatch.setattr(jobs_mod.fsutil, "delete_dir", spying)
     run_validation(spark, corpus, allowed, run_dir, cfg=cfg, resume=False)
     assert seen["manifest_gone"] is True
 
