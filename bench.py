@@ -268,6 +268,17 @@ def main() -> None:
         )
         n_labels = labels.count()
         lcfg = pgs.InferenceConfig(wrap_root="labels")
+        # one untimed warmup of both paths: the first pass pays Python
+        # worker spawn + Arrow-codepath warmup and measures 2-3x slower
+        # than steady state even on an idle host (measured: rep0 6.2s vs
+        # reps1-4 2.7-2.9s at load 0.0), which is a property of the
+        # session, not of the code under test
+        pgs.infer_json_schema(labels, "labels", lcfg)
+        (
+            pgs.normalise_json(labels, "labels", lcfg, decode=True)
+            .select(F.sum(F.length(F.to_json("labels"))))
+            .collect()
+        )
         infer_samples, norm_samples = [], []
         for _rep in range(reps):  # median-of-N: r03's single shot
             # recorded a 31% host-noise window as a regression
