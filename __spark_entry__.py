@@ -1328,6 +1328,271 @@ def q22_idle_customers(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational breadth pack (round 5): seven more adapted TPC-H patterns —
+# argmin-per-group join-back (q2), two-path dimension join (q7),
+# conditional-aggregate ratio (q8), selective fact→dim rollup (q10),
+# single-row CASE ratio (q14), scalar-max join-back (q15), and a
+# disjunctive multi-band predicate (q19). All dims broadcast; every
+# fact-side aggregate is map-side-combinable.
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 adapted (no partsupp table): per EUROPE-supplied part of
+    one size band, the cheapest observed unit price in lineitem and the
+    supplier offering it (ties broken on lowest s_suppkey, so the result
+    is fully deterministic). The per-(part,supplier) rollup and the
+    per-part min shuffle on the same key — Catalyst reuses the exchange
+    for the argmin join-back instead of rescanning."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu_supp = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    supply = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(eu_supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "s_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    best = supply.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        supply.join(best, "l_partkey")
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "min_cost")
+        .agg(F.min("s_suppkey").alias("s_suppkey"))
+        .select("p_partkey", "s_suppkey", "min_cost")
+    )
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H q7: shipping volume between two nations, grouped by the
+    (supplier nation, customer nation) direction and ship year. The
+    fact table reaches the agg through two independent broadcast dim
+    paths (supplier→nation, orders→customer→nation) — orders is the
+    only non-broadcast join and it shuffles on its natural key."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    s = _t(spark, sf_dir, "supplier")
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H q8: NATION_5's share of PROMO-part revenue sold to ASIA
+    customers, per order year. The share is a conditional aggregate over
+    one pass (sum(CASE)/sum), not a self-join; rounded to 4dp so the
+    engines' float-accumulation-order ulps cannot flip the repr."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cn = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_cust = c.join(
+        F.broadcast(cn), c.c_nationkey == cn.n_nationkey
+    ).join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(asia_cust.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H q10: per-customer revenue lost to returned items in one
+    quarter. The quarter filter prunes orders at the scan; lineitem is
+    filtered on l_returnflag before any join; customer+nation broadcast
+    onto the small surviving fact slice."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    # money wants exact decimal arithmetic: price (2dp) × discount (2dp)
+    # is an exact 4dp product, so the sum and its HALF_UP rounding are
+    # engine-independent — float sums here land on half-cent boundaries
+    # (tail ...x50) for ~2% of customers, where Spark (shortest-decimal
+    # HALF_UP) and a binary-double round disagree by one cent
+    exact_vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(F.sum(exact_vol), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H q14: PROMO parts' percentage of one month's revenue — a
+    single-row conditional-aggregate ratio over a scan-pruned month."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H q15: the supplier(s) with the maximum revenue in one
+    quarter. Revenue is rounded to 2dp BEFORE the max/equality compare
+    so both engines select from identical values; the 1-row max is a
+    broadcast join-back, never a second scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+    )
+
+
+def q19_disjunctive_bands(spark, sf_dir):
+    """TPC-H q19: revenue matching any of three (brand, size band,
+    quantity band) conjunctions — a disjunctive predicate that still
+    reaches the scan as one OR filter after the broadcast part join,
+    with no UNION of three scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(bands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
 def q_range_join_events(spark, sf_dir):
     """Binned range join (operators/relational.py): for each event, how
     many OTHER events start within the next 5 minutes. Equi-join on
@@ -1833,8 +2098,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "psi_daily_events": q_psi_daily_events,
         "embedding_topk_ivf": q_embedding_topk_ivf,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_priority_late": q4_priority_late,
         "q6_band_revenue": q6_band_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q19_disjunctive_bands": q19_disjunctive_bands,
         "q16_supplier_cnt": q16_supplier_cnt,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_large_volume": q18_large_volume,
@@ -2178,6 +2450,119 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < DATE '1996-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "q2_min_cost_supplier": """
+            WITH supply AS (
+                SELECT l_partkey, s_suppkey,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE p_size = 15 AND r_name = 'EUROPE'
+                GROUP BY l_partkey, s_suppkey
+            ), best AS (
+                SELECT l_partkey, min(unit_cost) AS min_cost
+                FROM supply GROUP BY l_partkey
+            )
+            SELECT supply.l_partkey AS p_partkey,
+                   min(s_suppkey) AS s_suppkey, min_cost
+            FROM supply JOIN best
+              ON supply.l_partkey = best.l_partkey
+             AND supply.unit_cost = best.min_cost
+            GROUP BY 1, 3
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(
+                       sum(CASE WHEN n1.n_name = 'NATION_5'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END)
+                       / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_type = 'PROMO'
+              AND EXISTS (
+                  SELECT 1 FROM customer
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                  JOIN region ON n2.n_regionkey = r_regionkey
+                  WHERE c_custkey = o_custkey AND r_name = 'ASIA'
+              )
+            GROUP BY 1
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(3,2)))),
+                              2) AS DOUBLE)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                       100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END)
+                       / sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1996-03-01'
+              AND l_shipdate < DATE '1996-04-01'
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q19_disjunctive_bands": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "q4_priority_late": """
             SELECT o_orderpriority, count(*) AS order_count

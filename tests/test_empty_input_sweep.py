@@ -35,7 +35,9 @@ SELF_CONTAINED = {
 # single row, so parity holds; the sweep just expects 1, not 0
 GLOBAL_AGG = {
     "q6_band_revenue",
+    "q14_promo_revenue",
     "q17_small_qty_revenue",
+    "q19_disjunctive_bands",
     "fingerprint_verified",
 }
 
