@@ -1075,6 +1075,41 @@ def q_split_corpus(spark, sf_dir):
     )
 
 
+def q_split_leakage(spark, sf_dir):
+    """Split hygiene: exact-duplicate text groups that STRADDLE the
+    deterministic train/val/test split — the leakage a dedup-after-split
+    pipeline ships straight into eval. The synthetic corpus has no exact
+    dupes (its planted dupes are near-dupes), so the query plants its
+    own: every 97th doc re-enters under a shifted doc_id, whose
+    independent hash split lands it cross-split ~34% of the time
+    (1 − 0.8² − 0.1² − 0.1²). Groups on md5(text) (16-byte shuffle key
+    instead of the full document — at 100 TB the text never ships
+    through the exchange; md5 rather than xxhash64 only so the oracle
+    can recompute the key bit-for-bit), then keeps groups seen in >1
+    split. Composes sample.split_corpus with the exact-dedup rollup."""
+    from polars_genson_spark.operators.sample import split_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.where(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    s = split_corpus(
+        d.unionByName(planted), {"train": 8, "val": 1, "test": 1}, seed=7
+    )
+    return (
+        s.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("rep_doc"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias(
+                "splits"
+            ),
+        )
+        .where(F.col("n_splits") > 1)
+    )
+
+
 def q_codec_features(spark, sf_dir):
     """REAL decode of REAL encoded bytes on the executors: PNG images and
     PCM16 WAV audio (this repo's stdlib-only codecs, no PIL/ffmpeg) →
@@ -2123,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_verified": q_fingerprint_verified,
         "bpe_roundtrip_docs": q_bpe_roundtrip,
         "split_corpus_docs": q_split_corpus,
+        "split_leakage_docs": q_split_leakage,
         # rows-only (hash-seed-dependent / HLL / synthetic media)
         "minhash_near_dupes": q_minhash_near_dupes,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -2300,6 +2336,33 @@ def oracle_sql() -> dict[str, str]:
         # Thresholds: weights {test:1, train:8, val:1} (sorted names),
         # total 10 — test: (1*16^8)//10 = 0x19999999, train: (9*16^8)//10
         # = 0xe6666666, val: else — same integer math as split_corpus
+        "split_leakage_docs": """
+            WITH u AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, text
+                FROM documents WHERE doc_id % 97 = 0
+            ), s AS (
+                SELECT doc_id, text,
+                       CASE
+                         WHEN substring(
+                                md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8
+                              ) < '19999999' THEN 'test'
+                         WHEN substring(
+                                md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8
+                              ) < 'e6666666' THEN 'train'
+                         ELSE 'val'
+                       END AS split
+                FROM u
+            )
+            SELECT md5(text) AS text_md5,
+                   min(doc_id) AS rep_doc,
+                   count(*) AS n_docs,
+                   count(DISTINCT split) AS n_splits,
+                   string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+            FROM s GROUP BY 1
+            HAVING count(DISTINCT split) > 1
+        """,
         "split_corpus_docs": """
             SELECT doc_id,
                    md5('7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
