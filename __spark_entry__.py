@@ -1377,9 +1377,13 @@ def q2_min_cost_supplier(spark, sf_dir):
     """TPC-H q2 adapted (no partsupp table): per EUROPE-supplied part of
     one size band, the cheapest observed unit price in lineitem and the
     supplier offering it (ties broken on lowest s_suppkey, so the result
-    is fully deterministic). The per-(part,supplier) rollup and the
-    per-part min shuffle on the same key — Catalyst reuses the exchange
-    for the argmin join-back instead of rescanning."""
+    is fully deterministic). The argmin is a window min over l_partkey
+    on the (part, supplier) rollup — NOT a rollup⋈rollup join-back,
+    which Catalyst cannot exchange-reuse here (the rollup key
+    (l_partkey, s_suppkey) differs from the join key) and which would
+    scan the fact table twice. One fact scan, one window sort."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
     s = _t(spark, sf_dir, "supplier")
@@ -1401,11 +1405,9 @@ def q2_min_cost_supplier(spark, sf_dir):
             )
         )
     )
-    best = supply.groupBy("l_partkey").agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        supply.join(best, "l_partkey")
+        supply.withColumn("min_cost", F.min("unit_cost").over(w))
         .where(F.col("unit_cost") == F.col("min_cost"))
         .groupBy(F.col("l_partkey").alias("p_partkey"), "min_cost")
         .agg(F.min("s_suppkey").alias("s_suppkey"))
