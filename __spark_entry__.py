@@ -1418,9 +1418,10 @@ def q2_min_cost_supplier(spark, sf_dir):
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H q7: shipping volume between two nations, grouped by the
     (supplier nation, customer nation) direction and ship year. The
-    fact table reaches the agg through two independent broadcast dim
-    paths (supplier→nation, orders→customer→nation) — orders is the
-    only non-broadcast join and it shuffles on its natural key."""
+    fact table reaches the agg through two independent dim paths
+    (supplier→nation pinned broadcast; orders→customer un-hinted so AQE
+    broadcasts at this SF and shuffles on the natural keys at 1000× —
+    customer scales with the corpus, nation/supplier do not)."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1998-01-01"))
@@ -1447,7 +1448,8 @@ def q7_volume_shipping(spark, sf_dir):
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with the corpus: un-hinted, AQE decides
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .where(pair)
         .groupBy(
@@ -1489,8 +1491,11 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
+        # customer scales with the corpus (unlike region/nation/supplier/
+        # part here): no broadcast hint on the semi-join — AQE broadcasts
+        # at this SF and falls back to a shuffled semi-join at 1000×
         .join(
-            F.broadcast(asia_cust.select("c_custkey")),
+            asia_cust.select("c_custkey"),
             o.o_custkey == F.col("c_custkey"),
             "left_semi",
         )
@@ -1512,8 +1517,9 @@ def q8_market_share(spark, sf_dir):
 def q10_returned_items(spark, sf_dir):
     """TPC-H q10: per-customer revenue lost to returned items in one
     quarter. The quarter filter prunes orders at the scan; lineitem is
-    filtered on l_returnflag before any join; customer+nation broadcast
-    onto the small surviving fact slice."""
+    filtered on l_returnflag before any join; nation is a pinned
+    broadcast, customer un-hinted (it scales with the corpus — AQE
+    broadcasts here, shuffles on c_custkey at 1000×)."""
     o = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1996-04-01"))
@@ -1531,7 +1537,9 @@ def q10_returned_items(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with the corpus: un-hinted (AQE broadcasts at
+        # this SF, shuffles on c_custkey at 1000×); nation stays pinned
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
