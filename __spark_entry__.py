@@ -121,7 +121,7 @@ def q_referential_lineitem_part(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey, "left_anti")
         .select("l_partkey")
         .distinct()
     )
@@ -1239,16 +1239,18 @@ def q4_priority_late(spark, sf_dir):
 
 
 def q9_profit_nation_year(spark, sf_dir):
-    """Multi-dim star join: fact lineitem against three dims, all tiny →
-    all broadcast, so the whole query is one scan + map-side joins +
-    one partial-agg shuffle of |nation|×|years| rows."""
+    """Multi-dim star join: fact lineitem against three dims. Nation is
+    a pinned broadcast (fixed 25 rows); part/supplier scale with the
+    corpus so they are un-hinted — AQE broadcasts them at bench SF
+    (same one-scan, map-side-join plan) and falls back to shuffled
+    joins at 1000×. One partial-agg shuffle of |nation|×|years| rows."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1282,13 +1284,14 @@ def q13_order_count_dist(spark, sf_dir):
 def q16_supplier_cnt(spark, sf_dir):
     """Distinct-supplier counts per (brand, type, size) with a brand/type
     exclusion — lineitem stands in for partsupp. countDistinct shuffles
-    (group, suppkey) once then collapses; the part dim is broadcast."""
+    (group, suppkey) once then collapses; part is un-hinted (SF-scaled:
+    AQE broadcasts here, shuffles at 1000×)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1393,9 +1396,9 @@ def q2_min_cost_supplier(spark, sf_dir):
         F.broadcast(n), s.s_nationkey == n.n_nationkey
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     supply = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(eu_supp.select("s_suppkey")),
+            eu_supp.select("s_suppkey"),
             li.l_suppkey == F.col("s_suppkey"),
         )
         .groupBy("l_partkey", "s_suppkey")
@@ -1445,7 +1448,7 @@ def q7_volume_shipping(spark, sf_dir):
         & (F.col("cust_nation") == "NATION_1")
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         # customer scales with the corpus: un-hinted, AQE decides
@@ -1487,8 +1490,8 @@ def q8_market_share(spark, sf_dir):
     ).join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
         # customer scales with the corpus (unlike region/nation/supplier/
@@ -1560,7 +1563,7 @@ def q14_promo_revenue(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -1595,7 +1598,7 @@ def q15_top_supplier(spark, sf_dir):
     return (
         rev.join(F.broadcast(top))
         .where(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
         )
@@ -1627,7 +1630,7 @@ def q19_disjunctive_bands(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(bands)
         .agg(
             F.round(
