@@ -1641,6 +1641,49 @@ def q19_disjunctive_bands(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP (region → nation → grand total) over order
+    revenue in ONE aggregation pass — Spark expands the grouping sets
+    map-side, so the 3-level hierarchy costs one shuffle, not three
+    scans + UNION. `grouping_id()` disambiguates a real NULL dim value
+    from a rollup subtotal row. Sums o_totalprice (2dp-true values:
+    float accumulation error ~1e-5 never reaches the 0.005 rounding
+    boundary, unlike 4dp-true discounted products — see q10)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().alias("lvl"),
+    )
+
+
+def q_exceptall_segment(spark, sf_dir):
+    """Multiset EXCEPT ALL: each customer's order rows minus one row
+    per BUILDING-segment membership — survivors keep order multiplicity
+    minus membership multiplicity (bag semantics, which a join or a
+    DISTINCT except cannot express). Spark plans exceptAll as a
+    count-tagged aggregate + generate, one shuffle per side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        o.select(F.col("o_custkey").alias("custkey"))
+        .exceptAll(building)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_surviving"))
+    )
+
+
 def q_range_join_events(spark, sf_dir):
     """Binned range join (operators/relational.py): for each event, how
     many OTHER events start within the next 5 minutes. Equi-join on
@@ -2155,6 +2198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q15_top_supplier": q15_top_supplier,
         "q19_disjunctive_bands": q19_disjunctive_bands,
+        "rollup_revenue_region": q_rollup_revenue,
+        "exceptall_segment": q_exceptall_segment,
         "q16_supplier_cnt": q16_supplier_cnt,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_large_volume": q18_large_volume,
@@ -2628,6 +2673,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_suppkey, s_name, total_revenue
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "rollup_revenue_region": """
+            SELECT r_name, n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders,
+                   GROUPING(r_name, n_name) AS lvl
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "exceptall_segment": """
+            SELECT custkey, count(*) AS n_surviving FROM (
+                SELECT o_custkey AS custkey FROM orders
+                EXCEPT ALL
+                SELECT c_custkey AS custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            ) GROUP BY custkey
         """,
         "q19_disjunctive_bands": """
             SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
