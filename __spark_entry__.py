@@ -1684,6 +1684,27 @@ def q_exceptall_segment(spark, sf_dir):
     )
 
 
+def q_pivot_returnflag(spark, sf_dir):
+    """PIVOT: per line-status row, one column per return-flag value
+    with summed quantity. The pivot values are pinned explicitly
+    (['A','N','R']) so the plan is ONE pass — an unpinned pivot costs
+    an extra distinct-values job before the real aggregation, which at
+    100 TB is a full extra scan. Quantities are integral doubles, so
+    the sums are exact and no rounding dance is needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
 def q_range_join_events(spark, sf_dir):
     """Binned range join (operators/relational.py): for each event, how
     many OTHER events start within the next 5 minutes. Equi-join on
@@ -2200,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_bands": q19_disjunctive_bands,
         "rollup_revenue_region": q_rollup_revenue,
         "exceptall_segment": q_exceptall_segment,
+        "pivot_returnflag_qty": q_pivot_returnflag,
         "q16_supplier_cnt": q16_supplier_cnt,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_large_volume": q18_large_volume,
@@ -2684,6 +2706,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "pivot_returnflag_qty": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)
+                       AS qty_a,
+                   sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)
+                       AS qty_n,
+                   sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)
+                       AS qty_r
+            FROM lineitem GROUP BY l_linestatus
         """,
         "exceptall_segment": """
             SELECT custkey, count(*) AS n_surviving FROM (
