@@ -1665,6 +1665,38 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_cube_status_flag(spark, sf_dir):
+    """CUBE over (l_linestatus, l_returnflag): all four grouping levels
+    (full cross, each margin, grand total) from ONE aggregation pass —
+    the same single map-side Expand as ROLLUP, 2^k grouping sets
+    instead of k+1. Quantities are integral doubles → exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_linestatus", "l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.grouping_id().alias("lvl"),
+    )
+
+
+def q_unpivot_part_stats(spark, sf_dir):
+    """UNPIVOT (melt): per-brand part statistics rotated from one wide
+    row to (brand, metric, value) long form via the unpivot API — the
+    inverse reshaping of the pivot query, after the aggregation so the
+    melt multiplies |brands|×3 rows, never the corpus."""
+    p = _t(spark, sf_dir, "part")
+    wide = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n_parts"),
+        F.sum("p_size").cast("double").alias("total_size"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_retail"),
+    )
+    return wide.unpivot(
+        "p_brand",
+        ["n_parts", "total_size", "total_retail"],
+        "metric",
+        "value",
+    )
+
+
 def q_exceptall_segment(spark, sf_dir):
     """Multiset EXCEPT ALL: each customer's order rows minus one row
     per BUILDING-segment membership — survivors keep order multiplicity
@@ -2220,6 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q19_disjunctive_bands": q19_disjunctive_bands,
         "rollup_revenue_region": q_rollup_revenue,
+        "cube_status_flag": q_cube_status_flag,
+        "unpivot_part_stats": q_unpivot_part_stats,
         "exceptall_segment": q_exceptall_segment,
         "pivot_returnflag_qty": q_pivot_returnflag,
         "q16_supplier_cnt": q16_supplier_cnt,
@@ -2716,6 +2750,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)
                        AS qty_r
             FROM lineitem GROUP BY l_linestatus
+        """,
+        "cube_status_flag": """
+            SELECT l_linestatus, l_returnflag,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS n_items,
+                   GROUPING(l_linestatus, l_returnflag) AS lvl
+            FROM lineitem
+            GROUP BY CUBE(l_linestatus, l_returnflag)
+        """,
+        "unpivot_part_stats": """
+            WITH wide AS (
+                SELECT p_brand,
+                       CAST(count(*) AS DOUBLE) AS n_parts,
+                       CAST(sum(p_size) AS DOUBLE) AS total_size,
+                       round(sum(p_retailprice), 2) AS total_retail
+                FROM part GROUP BY p_brand
+            )
+            SELECT p_brand, 'n_parts' AS metric, n_parts AS value FROM wide
+            UNION ALL
+            SELECT p_brand, 'total_size', total_size FROM wide
+            UNION ALL
+            SELECT p_brand, 'total_retail', total_retail FROM wide
         """,
         "exceptall_segment": """
             SELECT custkey, count(*) AS n_surviving FROM (
