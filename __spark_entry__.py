@@ -45,10 +45,16 @@ def corpus_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = F.transform(
         words, lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int")
     )
+    # n_tok = size(words), NOT size(tokens): transform() preserves array
+    # length (null text -> null either way), so the value is identical —
+    # but Catalyst does not simplify size(transform(...)), so consumers
+    # that only need n_tok (token_length_histogram, validate stats) were
+    # paying the per-word xxhash64+pmod just to take the length, twice
+    # when a filter re-derived it (plans/r06/hist_n_tok_corpus_*.txt).
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         tokens.alias("tokens"),
-        F.size(tokens).cast("int").alias("n_tok"),
+        F.size(words).cast("int").alias("n_tok"),
         F.col("source").alias("source"),
     )
 
@@ -1738,23 +1744,31 @@ def q_pivot_returnflag(spark, sf_dir):
 
 
 def q_range_join_events(spark, sf_dir):
-    """Binned range join (operators/relational.py): for each event, how
-    many OTHER events start within the next 5 minutes. Equi-join on
-    300 s buckets + exact post-filter — never the broadcast nested loop
-    Spark would pick for a raw inequality join."""
-    from polars_genson_spark.operators.relational import range_join
+    """For each event, how many OTHER events start within the next 5
+    minutes. Round 6 (guide §2.3/§2.4): computed with
+    relational.range_count — two RANGE-frame window sums over coarse
+    time buckets — instead of the binned range_join + groupBy count,
+    which materialised every candidate pair (~232M joined rows at
+    sf1.0) just to count them. Same result by construction: the frame
+    boundary arithmetic is the join post-filter's double comparison,
+    the self row (always inside [ts, ts+300)) maps to the
+    ``event_id != event_id2`` exclusion as the ``- 1``, and the
+    ``n_next >= 1`` filter reproduces the inner join dropping events
+    with no neighbour. event_id is unique in the events table (its PK),
+    so per-row counts equal the groupBy counts. Equivalence proven
+    against the old plan at sf0.001/0.01/0.1/1.0 (tools_r06_ab.py) and
+    by the unchanged DuckDB oracle."""
+    from polars_genson_spark.operators.relational import range_count
 
     e = _t(spark, sf_dir, "events")
     left = e.select(F.col("event_id"), F.col("ts"))
-    right = e.select(
-        F.col("event_id").alias("event_id2"), F.col("ts").alias("ts2")
+    right = e.select(F.col("ts").alias("ts2"))
+    counted = range_count(
+        left, right, "ts", "ts2", 0.0, 300.0, coarse_width=300.0
     )
-    joined = range_join(
-        left, right, "ts", "ts2", 0.0, 300.0, bucket_width=300.0
-    ).where(F.col("event_id") != F.col("event_id2"))
-    return joined.groupBy("event_id").agg(
-        F.count(F.lit(1)).alias("n_next")
-    )
+    return counted.select(
+        "event_id", (F.col("n_in_range") - 1).alias("n_next")
+    ).where(F.col("n_next") >= 1)
 
 
 # ---------------------------------------------------------------------------

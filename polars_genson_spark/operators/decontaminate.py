@@ -17,7 +17,65 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import with_shingles
+from .text import _words
+
+
+def _shingle_hash_expr(n: int) -> str:
+    """SQL expression computing the DISTINCT word-n-gram hashes of a
+    pre-split words array column ``_w`` — numerically, one pass, without
+    ever materialising the shingle strings.
+
+    One ``transform`` over positions, each position a single multi-arg
+    ``xxhash64(_w[i-1], ..., _w[i+n-2])``. Two n-grams hash equal iff
+    their word sequences are equal, up to 2^-64 collisions — the same
+    collision budget the previous string path already accepted for its
+    xxhash64(shingle) join keys, and in the same over-drop-only
+    direction. The < n-words fallback mirrors
+    :func:`..text._raw_shingles`: the whole normalised re-join, hashed
+    directly (single-arg vs the n-gram's n-arg fold, so cross-type
+    equality is collision-only — matching the string path, where an
+    (n-1)-space fallback string can never equal an n-gram with n-1
+    separators; NULL text hashes like the string path's NULL fallback
+    shingle on both sides).
+
+    Round 6 (guide §1.2 step 2 / §2.3): measured at sf1.0 on the 48k-doc
+    corpus side, noop sink — legacy string-shingle array build 2.50s,
+    xxhash64-fold via transform+2x(slice+zip_with) 3.95s, THIS plan
+    1.41s. The ``_w`` materialisation in a separate projection is
+    load-bearing: inlining the split into each element access re-splits
+    the text per element (measured 75s). Higher-order lambdas run
+    interpreted, so the single transform pass beats three passes plus
+    per-position string concats, and array_distinct compares longs, not
+    strings.
+    """
+    idx = ", ".join(f"_w[i{j - 1:+d}]" for j in range(n))
+    return (
+        f"array_distinct(CASE WHEN size(_w) >= {n} THEN "
+        f"transform(sequence(1, size(_w) - {n - 1}), i -> xxhash64({idx})) "
+        "ELSE array(xxhash64(array_join(_w, ' '))) END)"
+    )
+
+
+def _shingle_hash_rows(
+    df: DataFrame, id_cols: list[str], text_col: str, n: int
+) -> DataFrame:
+    """(id_cols..., _sh) — one row per raw n-gram-hash per doc, hashes
+    already per-doc-distinct.
+
+    explode_outer, not explode: Catalyst's InferFiltersFromGenerate only
+    fires for inner generators, and the size(...)>0 / isnotnull(...)
+    filter it infers gets pushed below the projection with the FULL
+    shingle expression substituted in — the whole regexp+split+hash
+    chain ran 3x per row on both sides (the r05 29.2s; see
+    plans/r06/decontaminate_trigram_*.txt). The shingle array is never
+    NULL and never empty by construction (the fallback branch always
+    yields one element), so outer vs inner explode emit identical rows.
+    """
+    return (
+        df.select(*id_cols, _words(text_col).alias("_w"))
+        .select(*id_cols, F.expr(_shingle_hash_expr(n)).alias("_shs"))
+        .select(*id_cols, F.explode_outer("_shs").alias("_sh"))
+    )
 
 
 def contaminated_docs(
@@ -30,22 +88,15 @@ def contaminated_docs(
 ) -> DataFrame:
     """(doc_id, n_shared) for corpus docs sharing >= min_shared distinct
     word n-grams with the benchmark set."""
-    # Both sides join on xxhash64(shingle) rather than the shingle string:
-    # 8-byte probe keys instead of ~20-40-byte strings shrink the
-    # broadcast table and the hash-probe work (measured 6-7% at sf0.1,
-    # tools_decon_bench.py; the win grows with shingle width). Collisions
-    # merge two distinct shingles with probability 2^-64 per pair —
-    # expected extra matches over a 10^10-shingle corpus x 10^6-shingle
-    # bench set ~ 5e-4, and the direction is over-drop, never a leak.
-    bench_shingles = (
-        with_shingles(benchmark, text_col, n)
-        .select(F.explode("shingles").alias("shingle"))
-        .select(F.xxhash64("shingle").alias("_sh"))
-        .distinct()
-    )
-    corpus_shingles = with_shingles(corpus, text_col, n).select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    ).select(id_col, F.xxhash64("shingle").alias("_sh"))
+    # Both sides join on 8-byte n-gram hashes (never shingle strings);
+    # see _shingle_hash_expr for the collision budget and the measured
+    # kernel choice. Benchmark side stays a broadcast of distinct
+    # hashes; nothing corpus-sized shuffles except the (doc, count)
+    # rollup, which map-side combines.
+    bench_shingles = _shingle_hash_rows(
+        benchmark, [], text_col, n
+    ).distinct()
+    corpus_shingles = _shingle_hash_rows(corpus, [id_col], text_col, n)
     hits = corpus_shingles.join(F.broadcast(bench_shingles), "_sh")
     return (
         hits.groupBy(id_col)

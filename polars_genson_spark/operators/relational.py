@@ -230,6 +230,138 @@ def grouped_quantiles(
     )
 
 
+def _as_num(df, col):
+    # timestamp→double keeps fractional seconds (unix_timestamp would
+    # truncate to whole seconds and silently widen the window).
+    # TIMESTAMP_NTZ must NOT hop through the session timezone: the
+    # offset is not constant across a DST transition, so a window
+    # spanning spring-forward would silently admit/drop wrong pairs.
+    # Wall-clock values get linear micros-since-epoch via
+    # timestampdiff, which is timezone-free by construction.
+    dt = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dt == "timestamp_ntz":
+        return (
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+            )
+            / F.lit(1_000_000.0)
+        )
+    return c.cast("double")
+
+
+def _range_frame_bound(v: float) -> str:
+    """SQL RANGE-frame bound for a numeric offset. ``CURRENT ROW`` is the
+    0 spelling (peer rows — identical to ``0 FOLLOWING`` for a RANGE
+    frame); floats go through repr so 300.0 stays a double literal and
+    the frame boundary arithmetic (order_value + offset) runs in the
+    same double type as range_join's post-filter."""
+    if v == 0:
+        return "CURRENT ROW"
+    return (
+        f"{abs(v)!r} PRECEDING" if v < 0 else f"{v!r} FOLLOWING"
+    )
+
+
+def range_count(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    lower: float,
+    upper: float,
+    coarse_width: float | None = None,
+    out_col: str = "n_in_range",
+) -> DataFrame:
+    """Per left row: COUNT of right rows with ``right_on`` in
+    ``[left_on + lower, left_on + upper)`` — the aggregation-only face of
+    :func:`range_join`, computed WITHOUT materialising candidate pairs.
+
+    ``range_join(...).groupBy(left_id).count()`` materialises every
+    candidate pair before counting; at a fixed time span the per-bucket
+    density grows linearly with input size and the pair volume
+    quadratically (1M events over 30 days = ~116 rows per 300 s bucket →
+    ~232M joined rows just to be counted). This plan is the distributed
+    interval-count instead: tag left rows ``_w=0`` / right rows ``_w=1``,
+    replicate each right row into every coarse time bucket whose left
+    windows can see it (``1 + (upper-lower)/W`` copies), hash-shuffle by
+    bucket, and take two RANGE-frame window sums per left row. The
+    inclusive ``[lower, upper]`` sum minus the exactly-at-``upper`` sum
+    yields the half-open ``[lower, upper)`` the join post-filter
+    computes — the frame boundary is ``order_value + offset`` in the
+    same double arithmetic, so the comparison is bit-identical. Work is
+    O(n log n) per bucket with shuffle volume ``|L| + ~2|R|`` skinny
+    rows; no pair blowup at any density — a single pathological burst
+    degrades to one O(n log n) sorted bucket, never O(n²) pairs.
+
+    Matches ``range_join`` + count semantics exactly: left rows whose
+    ``left_on`` is NULL produce no output row (an inequality on NULL
+    never matches), and right rows with NULL ``right_on`` count nowhere.
+    Bucket count ~ span/``coarse_width`` scales with the data and AQE
+    coalesces the shuffle, so parallelism is data-adaptive.
+    """
+    if upper <= lower:
+        raise ValueError(f"empty range window [{lower}, {upper})")
+    w = float(coarse_width) if coarse_width is not None else (upper - lower)
+    if w <= 0:
+        raise ValueError(f"coarse_width must be positive, got {w}")
+    _reject_reserved(
+        "range_count", {"_x", "_w", "_cb", out_col}, left
+    )
+    lnum = _as_num(left, left_on)
+    rnum = _as_num(right, right_on)
+
+    l_part = (
+        left.withColumn("_x", lnum)
+        .where(F.col("_x").isNotNull())
+        .withColumn("_w", F.lit(0).cast("long"))
+        .withColumn("_cb", F.floor(F.col("_x") / F.lit(w)).cast("long"))
+    )
+    # a right row at r is visible to left buckets B with
+    # B*W <= r - lower  AND  (B+1)*W > r - upper, i.e.
+    # B in [floor((r-upper)/W), floor((r-lower)/W)] — exact, one replica
+    # per bucket, so in-partition RANGE frames never double-count
+    r_part = (
+        right.select(rnum.alias("_x"))
+        .where(F.col("_x").isNotNull())
+        .withColumn("_w", F.lit(1).cast("long"))
+        .withColumn(
+            "_cb",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("_x") - F.lit(upper)) / F.lit(w)).cast(
+                        "long"
+                    ),
+                    F.floor((F.col("_x") - F.lit(lower)) / F.lit(w)).cast(
+                        "long"
+                    ),
+                )
+            ),
+        )
+    )
+    both = l_part.unionByName(r_part, allowMissingColumns=True)
+    over = "PARTITION BY _cb ORDER BY _x RANGE BETWEEN {} AND {}"
+    cnt_incl = F.expr(
+        "sum(_w) OVER ("
+        + over.format(_range_frame_bound(lower), _range_frame_bound(upper))
+        + ")"
+    )
+    cnt_at_up = F.expr(
+        "sum(_w) OVER ("
+        + over.format(_range_frame_bound(upper), _range_frame_bound(upper))
+        + ")"
+    )
+    counted = both.select(
+        *left.columns,
+        F.col("_w"),
+        (F.coalesce(cnt_incl, F.lit(0)) - F.coalesce(cnt_at_up, F.lit(0)))
+        .cast("long")
+        .alias(out_col),
+    )
+    return counted.where(F.col("_w") == 0).drop("_w")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -261,26 +393,6 @@ def range_join(
     w = float(bucket_width) if bucket_width is not None else (upper - lower)
     if w <= 0:
         raise ValueError(f"bucket_width must be positive, got {w}")
-
-    def _as_num(df, col):
-        # timestamp→double keeps fractional seconds (unix_timestamp would
-        # truncate to whole seconds and silently widen the window).
-        # TIMESTAMP_NTZ must NOT hop through the session timezone: the
-        # offset is not constant across a DST transition, so a window
-        # spanning spring-forward would silently admit/drop wrong pairs.
-        # Wall-clock values get linear micros-since-epoch via
-        # timestampdiff, which is timezone-free by construction.
-        dt = dict(df.dtypes)[col]
-        c = F.col(col)
-        if dt == "timestamp_ntz":
-            return (
-                F.expr(
-                    "timestampdiff(MICROSECOND, "
-                    f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
-                )
-                / F.lit(1_000_000.0)
-            )
-        return c.cast("double")
 
     lnum = _as_num(left, left_on)
     rnum = _as_num(right, right_on)

@@ -29,6 +29,25 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Joins (optimization guide §3.1/§9): allow shuffled-hash when a
+        # side fits per-partition (sort-merge's sorts are pure overhead
+        # then), and let AQE rewrite SMJ->SHJ from runtime sizes.
+        # Measured A/B at sf1.0 (OPTIMIZATION_r06.md): SHJ is neutral on
+        # q5 and ~12% faster on q3. Raising autoBroadcastJoinThreshold
+        # to 64m was ALSO tried and rejected: BroadcastExchange builds
+        # the hash relation single-threaded on the driver, so q5/q3
+        # regressed 3x (3.7->11.1s / 1.6->6.6s) when the 1.5M-row
+        # orders side became a broadcast — the default 10m stays.
+        # Env-overridable, size-based (not core-count-based), so the
+        # setting translates to a cluster unchanged.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
+        )
         .config("spark.ui.enabled", "false")
         # scale runners set this to "false": progress bars bloat captured
         # logs ~100x and can push the final JSON line past tail windows

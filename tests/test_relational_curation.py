@@ -833,3 +833,125 @@ def test_review_fixes_sampling_and_pipeline(spark):
     bad = docs.withColumn("quality_score", F.lit(0.99))
     with pytest.raises(ValueError, match="reserves"):
         curate(bad, cfg=CurateConfig(near_dup=False))
+
+
+def test_range_count_matches_naive_inequality(spark):
+    """range_count (r06's window-sum plan) must equal the exact
+    inequality join's per-left counts for every coarse width, including
+    widths not aligned to the window, negative lowers, and ties."""
+    from polars_genson_spark.operators.relational import range_count
+
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.uniform(0, 50.0) for _ in range(60)]
+    vals += vals[:10]  # duplicated values: exercise RANGE-frame peers
+    lrows = [(i, v) for i, v in enumerate(vals)]
+    rrows = [(1000 + i, rng.uniform(0, 50.0)) for i in range(90)]
+    rrows += [(2000 + i, v) for i, v in enumerate(vals[:15])]  # exact ties
+    left = spark.createDataFrame(lrows, "lid long, lv double")
+    right = spark.createDataFrame(rrows, "rid long, rv double")
+
+    def naive(lo, hi):
+        rows = left.join(
+            right,
+            (F.col("rv") >= F.col("lv") + lo)
+            & (F.col("rv") < F.col("lv") + hi),
+        ).groupBy("lid").count().collect()
+        return {r["lid"]: r["count"] for r in rows}
+
+    for lo, hi, w in [(0.0, 5.0, 5.0), (-3.0, 7.0, 2.5), (0.0, 5.0, 11.0),
+                      (2.0, 4.0, None), (0.0, 300.0, 300.0)]:
+        exact = naive(lo, hi)
+        got = {
+            r["lid"]: r["n_in_range"]
+            for r in range_count(
+                left, right, "lv", "rv", lo, hi, coarse_width=w
+            ).collect()
+        }
+        # range_count returns zero-count rows too; the join drops them
+        assert {k: v for k, v in got.items() if v > 0} == exact, (lo, hi, w)
+        assert set(got) == {r["lid"] for r in left.collect()}
+
+
+def test_range_count_null_ts_and_errors(spark):
+    from polars_genson_spark.operators.relational import range_count
+
+    left = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 3.0)], "lid long, lv double"
+    )
+    right = spark.createDataFrame(
+        [(10, 1.5), (11, None)], "rid long, rv double"
+    )
+    out = {
+        r["lid"]: r["n_in_range"]
+        for r in range_count(left, right, "lv", "rv", 0.0, 2.0).collect()
+    }
+    # NULL left ts -> no output row (inequality never matches);
+    # NULL right ts counts nowhere
+    assert out == {0: 1, 2: 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_count(left, right, "lv", "rv", 5.0, 5.0)
+    with _pytest.raises(ValueError):
+        range_count(
+            left.withColumnRenamed("lid", "_x"), right, "lv", "rv", 0.0, 1.0
+        )
+
+
+def test_shingle_hash_matching_equivalence(spark):
+    """The numeric n-gram hash join keys must induce the same match
+    relation as the legacy string shingles: contaminated_docs output
+    equals a string-shingle reimplementation on tricky docs (short docs,
+    empty text, NULL text, whitespace variants, exact ties)."""
+    from polars_genson_spark.operators.decontaminate import contaminated_docs
+    from polars_genson_spark.operators.dedup import with_shingles
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a b"),                      # < n words: whole-text fallback
+        (2, ""),                         # empty text fallback
+        (3, None),                       # NULL text fallback
+        (4, "the  quick\tbrown fox"),    # whitespace collapse
+        (5, "quick brown fox jumps over nothing"),
+        (6, "a b"),                      # fallback-fallback match with 1
+        (7, "totally disjoint words here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    benchmark = df.where(F.col("doc_id").isin(0, 1, 2, 3))
+    corpus = df.where(~F.col("doc_id").isin(0, 1, 2, 3))
+
+    def legacy(corpus, benchmark, n=3, min_shared=1):
+        bench = (
+            with_shingles(benchmark, "text", n)
+            .select(F.explode("shingles").alias("s"))
+            .select(F.xxhash64("s").alias("_sh"))
+            .distinct()
+        )
+        corp = (
+            with_shingles(corpus, "text", n)
+            .select(F.col("doc_id"), F.explode("shingles").alias("s"))
+            .select("doc_id", F.xxhash64("s").alias("_sh"))
+        )
+        return (
+            corp.join(F.broadcast(bench), "_sh")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+        )
+
+    for n, ms in [(3, 1), (3, 2), (2, 1)]:
+        want = sorted(
+            (r["doc_id"], r["n_shared"])
+            for r in legacy(corpus, benchmark, n, ms).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["n_shared"])
+            for r in contaminated_docs(
+                corpus, benchmark, n=n, min_shared=ms
+            ).collect()
+        )
+        assert got == want, (n, ms)
+    # sanity: the tricky fallbacks actually matched something
+    assert any(d == 6 for d, _ in got) or any(d == 4 for d, _ in got)
