@@ -30,6 +30,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for CPU-heavy per-row stages (guide §2.5
+    input skew, §6 input splits). The sf documents/events tables are
+    single parquet files with ONE row group, so whatever the split math
+    reports, only one scan task has rows — every regexp/shingle/JSON
+    kernel downstream of those scans ran on 1 core of 32 (measured:
+    the decontaminate shingle build was 1.56s scan-attached vs 0.27s
+    after an even repartition). Round-robin repartition to the session
+    default parallelism, only when the scan cannot provide it — the
+    exchange moves single-digit MBs here, and on a real deployment
+    where tables have >= cores row groups the condition is false and
+    this is a no-op. Used by the text/JSON-heavy queries, not the fact
+    -table aggregations (shuffling 131 MB of lineitem to win 6->32-way
+    scan parallelism loses; measured)."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Flagship
 # ---------------------------------------------------------------------------
@@ -38,7 +58,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def corpus_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → the pre-tokenized corpus shape, fully JVM-side:
     tokens[i] = xxhash64(word_i) mod vocab (deterministic fake BPE)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     words = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
     )
@@ -245,8 +265,21 @@ def q_window_top2_orders(spark, sf_dir):
 
 
 def q_events_json(spark, sf_dir):
+    # no _spread: the guarded-regex kernel is ~1.2s single-core and the
+    # round-robin exchange of 1M full rows costs more than it saves
+    # (measured 1.22s unspread vs 2.31s project+repartition)
     e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # Guarded JSON fast path (r06, guide §1.2 step 2): rows that
+    # anchored-match the generator's exact {"k": <int>} shape take a
+    # regexp integer extract (2.09s -> 0.77s noop-isolated at sf1.0);
+    # anything else falls back to the full Jackson parse, so the
+    # expression equals get_json_object($.k)::long on EVERY input —
+    # the guard match implies both read the same integer. Verified
+    # zero diff rows vs the plain parse at sf0.001/0.01/0.1/1.0.
+    k = F.when(
+        F.col("props").rlike(r'^\{"k":\s*-?\d+\}$'),
+        F.regexp_extract("props", r"(-?\d+)", 1).cast("long"),
+    ).otherwise(F.get_json_object("props", "$.k").cast("long"))
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg("value"), 4).alias("avg_value"),
@@ -255,6 +288,7 @@ def q_events_json(spark, sf_dir):
 
 
 def q_events_hourly(spark, sf_dir):
+    # no _spread: same trade-off as q_events_json (1.20s vs 2.70s)
     e = _t(spark, sf_dir, "events")
     hour = F.date_format(
         F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
@@ -390,7 +424,13 @@ def q_embedding_topk(spark, sf_dir):
 def q_schema_infer_events_props(spark, sf_dir):
     from polars_genson_spark import infer_json_schema
 
-    e = _t(spark, sf_dir, "events")
+    # _spread on the props projection only (guide §2.3: shuffle the one
+    # column the Python fold reads): the one-row-group events file
+    # otherwise feeds the whole per-doc fold to a single mapInPandas
+    # task (measured 3.6s one-task vs 1.6-2.0s spread). The summary
+    # merge is order-independent (property-tested), so partitioning is
+    # free to change without moving the inferred schema
+    e = _spread(spark, _t(spark, sf_dir, "events").select("props"))
     res = infer_json_schema(e, "props")
     return spark.createDataFrame(
         [(json.dumps(res.schema, sort_keys=True),)], "schema_json string"
@@ -579,7 +619,7 @@ def q_sessions_30m(spark, sf_dir):
 def q_top_words_source(spark, sf_dir):
     from polars_genson_spark.operators.text import top_words
 
-    return top_words(_t(spark, sf_dir, "documents"), k=5)
+    return top_words(_spread(spark, _t(spark, sf_dir, "documents")), k=5)
 
 
 def q_quantiles_nchars(spark, sf_dir):
@@ -615,7 +655,7 @@ def q_decontaminate_trigram(spark, sf_dir):
     trigrams with the (deterministic) benchmark slice doc_id % 29 == 0."""
     from polars_genson_spark.operators.decontaminate import contaminated_docs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     benchmark = docs.where(F.col("doc_id") % 29 == 0)
     corpus = docs.where(F.col("doc_id") % 29 != 0)
     return contaminated_docs(corpus, benchmark, n=3, min_shared=3)
@@ -868,8 +908,17 @@ def q_corpus_verdicts(spark, sf_dir):
     allowed = (
         _t(spark, sf_dir, "documents").select("source").distinct()
     )
+    # hist_impl="arrow" (r06): the drift token-id histogram over the
+    # non-cached corpus_view measured 0.86s (arrow flatten+bincount) vs
+    # 1.51s (JVM explode+agg) at sf1.0/32 cores, with bit-identical
+    # histogram output (kernel-equality pinned by pytest and re-proven
+    # on a 1M corpus this round). Drift values don't enter this query's
+    # hash, but the full suite stays ON — this only picks the faster of
+    # the two equivalent kernels for this operator's plan shape.
     report = validate_corpus(
-        corpus, allowed, ValidationConfig(token_hist_bucket=16)
+        corpus,
+        allowed,
+        ValidationConfig(token_hist_bucket=16, hist_impl="arrow"),
     )
     return report.verdicts.select(
         "source",
@@ -1015,7 +1064,10 @@ def q_bpe_tokenize(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     merges = train_bpe(d, n_merges=60)
-    return bpe_tokenize(d, merges)
+    # spread=False: 100 docs — the apply's parallelism floor would add
+    # a 32-task exchange + worker spin-up that dwarfs the work
+    # (measured 0.52s -> 1.06s with it on)
+    return bpe_tokenize(d, merges, spread=False)
 
 
 def q_bpe_roundtrip(spark, sf_dir):
@@ -1272,16 +1324,27 @@ def q9_profit_nation_year(spark, sf_dir):
 
 
 def q13_order_count_dist(spark, sf_dir):
-    """Customer order-count distribution: left outer join so 0-order
-    customers survive, then a double aggregation. count(o_orderkey)
-    (not count(*)) so the null rows of the outer join count as 0."""
+    """Customer order-count distribution: 0-order customers survive,
+    then a double aggregation.
+
+    Round 6 (guide §2.3 aggregate-before-shuffle): orders is rolled up
+    to (o_custkey, n) BEFORE touching customer, so the join moves ~|C|
+    count rows instead of |O| order rows (and the planner no longer
+    builds a 1.5M-row broadcast hash relation single-threaded on the
+    driver — measured 2.0s -> 1.0s at sf1.0). Equivalent to the
+    original left join + count(o_orderkey) because c_custkey is the
+    customer PK (unique, non-null — the same premise the frozen oracle's
+    GROUP BY distribution rests on) and count(o_orderkey) per customer
+    is exactly the per-custkey order count, 0 when unmatched; proven
+    row-identical at sf1.0 and by the unchanged DuckDB oracle."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    per_cust_counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n")
     )
+    per_cust = c.join(
+        per_cust_counts, c.c_custkey == per_cust_counts.o_custkey, "left"
+    ).select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )

@@ -149,6 +149,22 @@ def _segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def _spread_for_apply(df: DataFrame) -> DataFrame:
+    """Parallelism floor for the mapInPandas/mapInArrow apply (guide
+    §2.5/§6): a single-file, single-row-group corpus arrives as ONE
+    non-empty scan partition, so the whole Python segmentation loop ran
+    in one worker while 31 cores idled. Round-robin repartition to the
+    session default parallelism when the input cannot provide it; the
+    exchange carries only (id, text). On a real deployment with
+    >= cores input partitions this is a no-op. Output rows are a pure
+    per-row map, so partitioning never changes results — only which
+    worker's cache segments which word."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _seed_broadcast(df: DataFrame, seed: dict | None):
     """Broadcast the driver-precomputed word→segmentation dict (one copy
     per executor, not per task — the dict is ~MBs at 50k words)."""
@@ -314,6 +330,7 @@ def bpe_tokenize(
     cache_max: int = 500_000,
     seed_words: list[str] | None = None,
     impl: str = "loop",
+    spread: bool = True,
 ) -> DataFrame:
     """(id, bpe_tokens array<string>, n_bpe) — merge table broadcast via
     closure, per-unique-word segmentation cache per partition, cleared
@@ -358,12 +375,18 @@ def bpe_tokenize(
             id_col, text_col, out_col, "n_bpe", seed_bc, cache_max,
             lambda w: _segment(w, ranks), pa.string(),
         )
-        return df.select(id_col, text_col).mapInArrow(run, out_schema)
+        src = df.select(id_col, text_col)
+        if spread:
+            src = _spread_for_apply(src)
+        return src.mapInArrow(run, out_schema)
     run = _make_apply(
         id_col, text_col, out_col, "n_bpe", seed_bc, cache_max,
         lambda w: _segment(w, ranks),
     )
-    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+    src = df.select(id_col, text_col)
+    if spread:
+        src = _spread_for_apply(src)
+    return src.mapInPandas(run, out_schema)
 
 
 def bpe_vocabulary(merges: list[tuple[str, str]]) -> list[str]:
@@ -412,6 +435,7 @@ def bpe_tokenize_ids(
     cache_max: int = 500_000,
     seed_words: list[str] | None = None,
     impl: str = "loop",
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, tokens array<int>, n_tok) — the pre-tokenized-corpus
     shape the validation engine consumes. Unknown tokens map to id 0.
@@ -440,13 +464,19 @@ def bpe_tokenize_ids(
             id_col, text_col, "tokens", "n_tok", seed_bc, cache_max,
             segment_ids, pa.int32(),
         )
-        return df.select(id_col, text_col).mapInArrow(run, out_schema)
+        src = df.select(id_col, text_col)
+        if spread:
+            src = _spread_for_apply(src)
+        return src.mapInArrow(run, out_schema)
     run = _make_apply(
         id_col, text_col, "tokens", "n_tok", seed_bc, cache_max,
         segment_ids,
     )
 
-    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+    src = df.select(id_col, text_col)
+    if spread:
+        src = _spread_for_apply(src)
+    return src.mapInPandas(run, out_schema)
 
 
 def bpe_tokenize_ids_join(
