@@ -232,3 +232,204 @@ def normalise_document(
     if cfg.wrap_root is not None:
         doc = {cfg.wrap_root: doc}
     return normalise_value(doc, schema, cfg, None)
+
+
+# ---------------------------------------------------------------------------
+# Compiled kernel (round 6, guide §1.2 step 2 "per-task work"): the
+# recursive normalise_value re-dispatches on the SCHEMA for every value of
+# every document — isinstance chains, dict lookups ("type", "fields",
+# "items", "values"), cfg attribute reads — although the schema is a
+# broadcast constant for the whole job. compile_normaliser walks the schema
+# ONCE and returns nested closures with every dispatch decision, field
+# list, promoted-key suffix and encoding choice pre-resolved; per document
+# only the data-dependent branches remain. Pinned bit-identical to
+# normalise_value by tests/test_normalise_compiled.py (adversarial branch
+# corpus) and by the 160-replay reference snapshot suite riding
+# normalise_json.
+# ---------------------------------------------------------------------------
+
+_NUM_SUFFIXES = ("int", "integer", "long", "float", "double", "number")
+
+
+def compile_normaliser(schema: Json, cfg: NormaliseConfig):
+    """Return ``fn(value, field_name=None) -> Json`` computing exactly
+    ``normalise_value(value, schema, cfg, field_name)``."""
+    import json as _json
+
+    coerce_string = cfg.coerce_string
+    empty_as_null = cfg.empty_as_null
+    encoding = cfg.map_encoding
+
+    if encoding == MAP_ENCODING_MAPPING:
+        apply_enc = lambda m: m  # noqa: E731
+    elif encoding == MAP_ENCODING_ENTRIES:
+        apply_enc = lambda m: [{k: v} for k, v in m.items()]  # noqa: E731
+    elif encoding == MAP_ENCODING_KV:
+        apply_enc = (  # noqa: E731
+            lambda m: [{"key": k, "value": v} for k, v in m.items()]
+        )
+    else:
+        apply_enc = None  # raise lazily, like _apply_map_encoding
+
+    def compile_node(schema: Json):
+        # Primitive types
+        if isinstance(schema, str):
+            t = schema
+            if t == "string":
+                def f_string(value, field_name=None):
+                    if value is None or isinstance(value, str):
+                        return value
+                    if isinstance(value, bool):
+                        return "true" if value else "false"
+                    return _json.dumps(
+                        value, separators=(",", ":"), ensure_ascii=False
+                    )
+                return f_string
+            if t in ("int", "long"):
+                def f_int(value, field_name=None):
+                    if isinstance(value, bool) or value is None:
+                        return None
+                    if isinstance(value, int):
+                        if -(2**63) <= value < 2**63:
+                            return value
+                        return None
+                    if coerce_string and isinstance(value, str):
+                        try:
+                            return int(value)
+                        except ValueError:
+                            return None
+                    return None
+                return f_int
+            if t in ("double", "float"):
+                def f_float(value, field_name=None):
+                    if value is None or isinstance(value, float):
+                        return value
+                    if coerce_string and isinstance(value, str):
+                        try:
+                            return float(value)
+                        except ValueError:
+                            return None
+                    return None
+                return f_float
+            if t == "boolean":
+                def f_bool(value, field_name=None):
+                    if value is None or isinstance(value, bool):
+                        return value
+                    if coerce_string and isinstance(value, str):
+                        if value in ("true", "1"):
+                            return True
+                        if value in ("false", "0"):
+                            return False
+                    return None
+                return f_bool
+            if t == "null":
+                return lambda value, field_name=None: None
+            return lambda value, field_name=None: value
+
+        # Union
+        if isinstance(schema, list):
+            if "null" in schema:
+                branch = next((t for t in schema if t != "null"), None)
+                if branch is None:
+                    return lambda value, field_name=None: None
+                sub = compile_node(branch)
+
+                def f_union(value, field_name=None):
+                    if value is None:
+                        return None
+                    return sub(value, field_name)
+                return f_union
+            if schema:
+                return compile_node(schema[0])
+            return lambda value, field_name=None: value
+
+        if not isinstance(schema, dict):
+            return lambda value, field_name=None: value
+
+        stype = schema.get("type")
+
+        # Record
+        if stype == "record":
+            fields = []
+            for f in schema.get("fields", []):
+                name = f.get("name")
+                field_schema = f.get("type")
+                if name is None or field_schema is None:
+                    continue
+                suffix = name.rsplit("__", 1)[-1] if "__" in name else None
+                fields.append((name, suffix, compile_node(field_schema)))
+
+            def f_record(value, field_name=None):
+                out = {}
+                if isinstance(value, dict):
+                    get = value.get
+                    for name, _suffix, sub in fields:
+                        out[name] = sub(get(name), name)
+                    return out
+                for name, suffix, sub in fields:
+                    val = None
+                    if suffix is not None:
+                        if isinstance(value, str):
+                            if suffix == "string":
+                                val = value
+                        elif isinstance(value, bool):
+                            if suffix == "boolean":
+                                val = value
+                        elif isinstance(value, (int, float)):
+                            if suffix in _NUM_SUFFIXES:
+                                val = value
+                    out[name] = sub(val, name)
+                return out
+            return f_record
+
+        # Array
+        if stype == "array":
+            sub = compile_node(schema.get("items", "string"))
+
+            def f_array(value, field_name=None):
+                if value is None:
+                    return None
+                if isinstance(value, list):
+                    if not value and empty_as_null:
+                        return None
+                    return [sub(v, field_name) for v in value]
+                return [sub(value, field_name)]
+            return f_array
+
+        # Map
+        if stype == "map":
+            sub = compile_node(schema.get("values", "string"))
+
+            def f_map(value, field_name=None):
+                if value is None:
+                    return None
+                if isinstance(value, dict):
+                    if not value and empty_as_null:
+                        return None
+                    out = {k: sub(v, k) for k, v in value.items()}
+                else:
+                    out = {
+                        make_promoted_scalar_key(
+                            field_name or "", _scalar_type_of(value)
+                        ): sub(value, field_name)
+                    }
+                if apply_enc is None:
+                    raise ValueError(
+                        f"unknown map encoding: {encoding}"
+                    )
+                return apply_enc(out)
+            return f_map
+
+        # Fallback
+        return lambda value, field_name=None: value
+
+    return compile_node(schema)
+
+
+def compile_document_normaliser(schema: Json, cfg: NormaliseConfig):
+    """Compiled :func:`normalise_document`: ``fn(doc) -> Json``."""
+    root = compile_normaliser(schema, cfg)
+    wrap = cfg.wrap_root
+    if wrap is None:
+        return lambda doc: root(doc, None)
+    return lambda doc: root({wrap: doc}, None)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..config import InferenceConfig, NormaliseConfig
 from ..functions.bridge import avro_to_spark_schema
-from ..functions.normalise import normalise_document
+from ..functions.normalise import compile_document_normaliser
 from .infer import InferenceResult, infer_json_schema, _loads
 
 
@@ -61,7 +61,14 @@ def normalise_json(
 
     @F.pandas_udf("string")
     def _normalise(col: pd.Series) -> pd.Series:
-        schema = json.loads(schema_bc.value)
+        # compiled kernel (functions/normalise.py round-6 note): schema
+        # dispatch resolved once per batch, not once per value — pinned
+        # bit-identical to normalise_document by
+        # tests/test_normalise_compiled.py + the snapshot replays
+        kernel = compile_document_normaliser(
+            json.loads(schema_bc.value), cfg
+        )
+        dumps = json.dumps
 
         def one(cell: str | None) -> str | None:
             # blank/unparseable cells normalise to null rather than
@@ -72,9 +79,7 @@ def normalise_json(
                 doc = _loads(cell)
             except ValueError:
                 return None
-            return json.dumps(
-                normalise_document(doc, schema, cfg), separators=(",", ":")
-            )
+            return dumps(kernel(doc), separators=(",", ":"))
 
         return col.map(one)
 

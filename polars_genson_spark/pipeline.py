@@ -47,10 +47,16 @@ class CurateConfig:
     min_jaccard: float = 0.8
     shingle_n: int = 3
     jaccard_df_max: int | None = 1000
-    # hot-bucket cap for MinHash candidate generation (None = off): a
-    # degenerate band bucket of L docs yields L² candidate pairs; capping
-    # bounds the worst bucket at bucket_max² — see dedup._cap_hot_buckets
-    minhash_bucket_max: int | None = None
+    # hot-bucket cap for MinHash candidate generation: a degenerate band
+    # bucket of L docs yields L² candidate pairs, so one boilerplate-
+    # heavy band bucket at web-corpus scale goes quadratic — see
+    # dedup._cap_hot_buckets. Round 6: default FINITE (10_000 — worst
+    # bucket bounded at 1e8 comparisons spread over tasks, far above any
+    # honest near-dup cluster at min_jaccard>=0.8, so bench-scale runs
+    # never trip it and planted-dupe recall is unchanged: a true dupe
+    # group that big still collides in the other bands). None is the
+    # explicit opt-out to scan pathological buckets anyway.
+    minhash_bucket_max: int | None = 10_000
     # connected-components algorithm for survivor selection: "label"
     # (min-label propagation, diameter rounds) or "star" (alternating
     # large/small-star, O(log n) rounds — robust to chain-shaped graphs)

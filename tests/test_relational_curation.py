@@ -955,3 +955,44 @@ def test_shingle_hash_matching_equivalence(spark):
         assert got == want, (n, ms)
     # sanity: the tricky fallbacks actually matched something
     assert any(d == 6 for d, _ in got) or any(d == 4 for d, _ in got)
+
+
+def test_minhash_bucket_cap_default_finite_and_recall_preserved(spark):
+    """r06: CurateConfig.minhash_bucket_max defaults to a finite cap (a
+    boilerplate band bucket at corpus scale is quadratic otherwise), and
+    the default cap must not change which planted near-dupes the
+    candidate stage finds at bench scale — capped vs uncapped candidate
+    sets are identical there because no honest bucket approaches the
+    cap."""
+    from polars_genson_spark.pipeline import CurateConfig
+    from polars_genson_spark.operators.dedup import minhash_candidates
+
+    assert CurateConfig().minhash_bucket_max is not None
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .where(F.col("doc_id") < 300)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(
+            docs, num_perm=32, bands=16, min_jaccard=0.0,
+            bucket_max=CurateConfig().minhash_bucket_max,
+        ).select("id_a", "id_b").collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(
+            docs, num_perm=32, bands=16, min_jaccard=0.0, bucket_max=None
+        ).select("id_a", "id_b").collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+    # a tiny cap DOES prune (the mechanism actually engages)
+    pruned = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(
+            docs, num_perm=32, bands=16, min_jaccard=0.0, bucket_max=1
+        ).select("id_a", "id_b").collect()
+    }
+    assert pruned <= uncapped
