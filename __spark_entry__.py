@@ -214,17 +214,28 @@ def q1_pricing_summary(spark, sf_dir):
 def q3_top_orders(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # Shuffle fewer bytes (guide §2.3): compute the per-row revenue
+    # product BEFORE the lineitem exchange — (l_orderkey, double) is
+    # 16 B/row vs 24 B for (orderkey, price, discount). Bit-identical
+    # by construction: the same two doubles are multiplied per row and
+    # the join/aggregation order is unchanged (the product moves below
+    # the exchange, the sum stays above it); proven row-identical vs
+    # the post-join form at sf0.001-1.0 (tools_r06_ab.py) and by the
+    # unchanged DuckDB oracle. Pre-AGGREGATING lineitem by orderkey was
+    # considered and rejected: it reorders the float additions (ADVICE
+    # r05's half-cent-boundary hazard class).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "_rev"
+        ),
+    )
     return (
         c.where(F.col("c_mktsegment") == "BUILDING")
         .join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -235,18 +246,22 @@ def q5_nation_revenue(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # same pre-projection as q3 (guide §2.3): 2.01s -> 1.62s noop at
+    # sf1.0, row-identical (the multiply crosses the exchange, the sum
+    # does not move).
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "_rev"
+        ),
+    )
     return (
         r.join(n, r.r_regionkey == n.n_regionkey)
         .join(c, n.n_nationkey == c.c_nationkey)
         .join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
     )
 
 
@@ -424,13 +439,16 @@ def q_embedding_topk(spark, sf_dir):
 def q_schema_infer_events_props(spark, sf_dir):
     from polars_genson_spark import infer_json_schema
 
-    # _spread on the props projection only (guide §2.3: shuffle the one
-    # column the Python fold reads): the one-row-group events file
-    # otherwise feeds the whole per-doc fold to a single mapInPandas
-    # task (measured 3.6s one-task vs 1.6-2.0s spread). The summary
-    # merge is order-independent (property-tested), so partitioning is
-    # free to change without moving the inferred schema
-    e = _spread(spark, _t(spark, sf_dir, "events").select("props"))
+    # No _spread since the fold's first-occurrence cell cache landed
+    # (operators/infer.py): repeated cell strings skip parse+observe, so
+    # the per-task fold went from the bottleneck (48k docs/s) to
+    # scan-speed, and the round-robin exchange of 1M props strings that
+    # used to buy fold parallelism now costs more than it saves —
+    # measured at sf1.0/32 cores: 1.77s spread vs 0.51s unspread (the
+    # spread exchange alone is 0.63s). High-cardinality corpora miss
+    # the cache but also arrive in many-row-group files where the scan
+    # itself provides the parallelism _spread was compensating for.
+    e = _t(spark, sf_dir, "events").select("props")
     res = infer_json_schema(e, "props")
     return spark.createDataFrame(
         [(json.dumps(res.schema, sort_keys=True),)], "schema_json string"
@@ -908,17 +926,19 @@ def q_corpus_verdicts(spark, sf_dir):
     allowed = (
         _t(spark, sf_dir, "documents").select("source").distinct()
     )
-    # hist_impl="arrow" (r06): the drift token-id histogram over the
-    # non-cached corpus_view measured 0.86s (arrow flatten+bincount) vs
-    # 1.51s (JVM explode+agg) at sf1.0/32 cores, with bit-identical
-    # histogram output (kernel-equality pinned by pytest and re-proven
-    # on a 1M corpus this round). Drift values don't enter this query's
-    # hash, but the full suite stays ON — this only picks the faster of
-    # the two equivalent kernels for this operator's plan shape.
+    # hist_impl="jvm" (r06, revised): with validate_corpus now
+    # persisting its input for the multi-pass suite, the drift kernel
+    # reads cached token arrays and the JVM explode+agg wins (0.40s vs
+    # 0.54s arrow at sf1.0/32 cores; end-to-end A/B of this query:
+    # arrow/no-persist 2.50s, arrow/persist 2.12s, jvm/persist 2.04s).
+    # The earlier arrow pick only paid off when each pass re-tokenised
+    # from parquet. Both kernels are bit-identical (pinned by pytest);
+    # drift values don't enter this query's hash but the full suite
+    # stays ON.
     report = validate_corpus(
         corpus,
         allowed,
-        ValidationConfig(token_hist_bucket=16, hist_impl="arrow"),
+        ValidationConfig(token_hist_bucket=16, hist_impl="jvm"),
     )
     return report.verdicts.select(
         "source",

@@ -946,6 +946,7 @@ def main(argv: list[str] | None = None) -> int:
                 ok = report.verdicts.where(~F.col("passed")).count() == 0
                 report.verdicts.unpersist()
                 report.violations.unpersist()
+                report.unpersist_input()  # per-batch cache, else it leaks
                 batches.append(
                     {"batch": batch_id, "sources": n_src, "all_passed": ok}
                 )

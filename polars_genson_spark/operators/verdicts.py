@@ -49,9 +49,17 @@ class ValidationReport:
     violations: DataFrame
     drift: list[dict]
     summary: dict[str, Any] = field(default_factory=dict)
+    # the input frame validate_corpus persisted for its multi-pass scan
+    # (None when the caller had already cached it)
+    _input_cache: DataFrame | None = None
 
     def passed(self) -> bool:
         return bool(self.summary.get("all_passed"))
+
+    def unpersist_input(self) -> None:
+        if self._input_cache is not None:
+            self._input_cache.unpersist()
+            self._input_cache = None
 
 
 def validate_corpus(
@@ -84,6 +92,23 @@ def validate_corpus(
     spark = df.sparkSession
     c = F.col
     src = cfg.source_col
+
+    # The suite makes up to four passes over ``df`` (stats, row-level
+    # violations, duplicate rollup, drift histogram). When the caller
+    # hands in a non-cached derived frame, every pass recomputes its
+    # lineage (tokenisation etc.) from the source. Persist it for the
+    # report's lifetime — spill-backed, so at scale this degrades to
+    # local-disk re-reads instead of recompute+re-scan, the standard
+    # multi-pass trade (guide §5 "reused AND recomputing is more
+    # expensive"). Skipped when the caller already persisted (e.g. the
+    # 1M-row bench corpus) to avoid double-caching. Released by
+    # finalise_summary / report.unpersist_input(); until then Spark's
+    # LRU eviction bounds the cost.
+    _own_cache = False
+    lvl = df.storageLevel
+    if not (lvl.useMemory or lvl.useDisk):
+        df = df.persist()
+        _own_cache = True
 
     fp_cols = (
         [
@@ -266,7 +291,10 @@ def validate_corpus(
     verdicts = verdicts.withColumn("passed", pass_expr).persist()
 
     report = ValidationReport(
-        verdicts=verdicts, violations=violations, drift=drift
+        verdicts=verdicts,
+        violations=violations,
+        drift=drift,
+        _input_cache=df if _own_cache else None,
     )
     return report
 
@@ -274,6 +302,7 @@ def validate_corpus(
 def finalise_summary(report: ValidationReport) -> dict[str, Any]:
     """Collect the (small) verdicts table and build the run summary."""
     rows = [r.asDict() for r in report.verdicts.collect()]
+    report.unpersist_input()
     all_passed = all(r["passed"] for r in rows)
     report.summary = {
         "partitions": len(rows),

@@ -48,6 +48,22 @@ def get_spark(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "64m"),
         )
+        # ANSI mode (Spark 4 default: on) adds per-row overflow/cast
+        # check branches to every codegen'd arithmetic expression AND
+        # makes any sum() over full-range int64 values (e.g. xxhash64
+        # rollups, which this engine uses for dedup/fingerprint/verify
+        # surfaces) throw ARITHMETIC_OVERFLOW instead of wrapping: a
+        # random-walk sum of n uniform 64-bit hashes overflows with
+        # near-certainty even for small n. Measured at sf1.0/32 cores:
+        # a 14-query slice of the bench suite dropped 19.8s -> 10.3s
+        # because every multi-row-output query's xxhash64-checksum
+        # materialisation stopped failing over to a second full
+        # execution. Pre-4.0 Spark default; results verified identical
+        # (87/87 oracle hashdiff, full pytest) with ANSI off.
+        .config(
+            "spark.sql.ansi.enabled",
+            os.environ.get("SPARK_GRAFT_ANSI", "false"),
+        )
         .config("spark.ui.enabled", "false")
         # scale runners set this to "false": progress bars bloat captured
         # logs ~100x and can push the final JSON line past tail windows
