@@ -59,32 +59,88 @@ def normalise_json(
     # dropped any config field it didn't enumerate
     cfg = norm
 
+    _MISS = object()
+
     @F.pandas_udf("string")
-    def _normalise(col: pd.Series) -> pd.Series:
-        # compiled kernel (functions/normalise.py round-6 note): schema
-        # dispatch resolved once per batch, not once per value — pinned
-        # bit-identical to normalise_document by
-        # tests/test_normalise_compiled.py + the snapshot replays
+    def _normalise(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Iterator form (guide §4.5): the compiled kernel
+        # (functions/normalise.py round-6 note) is built ONCE PER TASK
+        # and amortised over every Arrow batch, instead of once per
+        # 10k-row batch — pinned bit-identical to normalise_document by
+        # tests/test_normalise_compiled.py + the snapshot replays.
+        # The cell->output cache skips the parse+normalise+dumps chain
+        # for repeated document strings (normalisation is a pure
+        # function of the cell under a fixed schema+config); bounded by
+        # a byte budget so huge-cardinality corpora cannot blow worker
+        # memory. Replicated-doc corpora (the reference's own labels
+        # macro bench is 1000 distinct docs x 100 copies) collapse to
+        # one kernel run per distinct doc.
         kernel = compile_document_normaliser(
             json.loads(schema_bc.value), cfg
         )
         dumps = json.dumps
+        cache: dict[str, str | None] = {}
+        budget = 48 * 1024 * 1024  # approx bytes of cached keys+values
 
         def one(cell: str | None) -> str | None:
             # blank/unparseable cells normalise to null rather than
             # aborting the task — violations surface as rows (SURVEY §3.2)
             if cell is None or not cell.strip():
                 return None
+            hit = cache.get(cell, _MISS)
+            if hit is not _MISS:
+                return hit
             try:
                 doc = _loads(cell)
             except ValueError:
-                return None
-            return dumps(kernel(doc), separators=(",", ":"))
+                out = None
+            else:
+                out = dumps(kernel(doc), separators=(",", ":"))
+            nonlocal budget
+            if budget > 0:
+                budget -= len(cell) + (len(out) if out else 0) + 64
+                cache[cell] = out
+            return out
 
-        return col.map(one)
+        for col in batches:
+            yield col.map(one)
 
-    result = df.withColumn(out_name, _normalise(F.col(column)))
+    # Distinct-route (guide §8 "decide with small rows"): normalisation
+    # is a pure function of the cell under a fixed schema+config, so a
+    # corpus with heavy document replication (dedup-before-normalise is
+    # the normal LLM-pipeline shape; the reference's own labels macro
+    # bench is 1000 distinct docs x 100 copies) can run the Python
+    # kernel once per DISTINCT cell and broadcast-join the results
+    # back, instead of once per row per task. Guarded by a cheap
+    # 10k-row sample (one tiny job): only frames that are provably
+    # replication-heavy take the distinct shuffle, and a safety count
+    # on the distinct side falls back to the direct path when the
+    # sample lied (wasted one rollup, never a wrong answer or an
+    # oversized broadcast). High-cardinality corpora keep today's
+    # single-pass plan with no extra full scan.
+    dedup_candidate = (
+        "__pgs_cell" not in df.columns
+        and "__pgs_norm" not in df.columns
+        # tiny frames (unit replays, the <=100-row decode queries) skip
+        # the sampling job outright: partition count is a free proxy
+        # for "big enough that one extra small job can pay for itself"
+        and df.rdd.getNumPartitions() >= 8
+    )
+    dedup_map = None
+    sample_cap = 10_000
+    if dedup_candidate:
+        s = (
+            df.select(F.col(column).alias("__pgs_cell"))
+            .limit(sample_cap)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("__pgs_cell").alias("d"),
+            )
+            .first()
+        )
+        dedup_candidate = s["n"] >= sample_cap and s["d"] <= 0.5 * s["n"]
 
+    dtype = None
     if decode:
         from ..config import MAP_ENCODING_ENTRIES, MAP_ENCODING_KV
 
@@ -102,10 +158,53 @@ def normalise_json(
         dtype = avro_to_spark_schema(
             avro_schema, kv_encoding=norm.map_encoding == MAP_ENCODING_KV
         )
-        result = result.withColumn(out_name, F.from_json(F.col(out_name), dtype))
-        if unnest:
-            other = [c for c in result.columns if c != out_name]
-            result = result.select(*other, f"{out_name}.*")
+
+    if dedup_candidate:
+        mapped = (
+            df.select(F.col(column).alias("__pgs_cell"))
+            .where(F.col("__pgs_cell").isNotNull())
+            .distinct()
+            .withColumn("__pgs_norm", _normalise(F.col("__pgs_cell")))
+        )
+        if dtype is not None:
+            # decode on the distinct side too: from_json parses each
+            # DISTINCT document once; rows receive the decoded struct
+            # through the broadcast join
+            mapped = mapped.withColumn(
+                "__pgs_norm", F.from_json(F.col("__pgs_norm"), dtype)
+            )
+        # materialise ONCE (localCheckpoint): the safety count and the
+        # broadcast build would otherwise each recompute the distinct
+        # shuffle + Python stage
+        mapped = mapped.localCheckpoint(eager=True)
+        # broadcast-relation budget, not a tuning knob: past this the
+        # executors would each hold the full mapped table. A lying
+        # sample wastes this rollup but never produces a wrong answer
+        # or an oversized broadcast.
+        if mapped.count() <= 200_000:
+            dedup_map = mapped
+
+    if dedup_map is not None:
+        result = (
+            df.join(
+                F.broadcast(dedup_map),
+                F.col(column) == F.col("__pgs_cell"),
+                "left",
+            )
+            .drop("__pgs_cell")
+            .withColumn(out_name, F.col("__pgs_norm"))
+            .drop("__pgs_norm")
+        )
+    else:
+        result = df.withColumn(out_name, _normalise(F.col(column)))
+        if dtype is not None:
+            result = result.withColumn(
+                out_name, F.from_json(F.col(out_name), dtype)
+            )
+
+    if decode and unnest:
+        other = [c for c in result.columns if c != out_name]
+        result = result.select(*other, f"{out_name}.*")
     return result
 
 
