@@ -45,12 +45,64 @@ def normalise_json(
     norm = norm or NormaliseConfig(wrap_root=config.wrap_root)
     out_name = output_col or column
 
+    # Distinct-route decision FIRST (details at the route below): when
+    # it fires, schema inference also runs over the checkpointed
+    # DISTINCT cells — the inferred schema is replication-invariant
+    # (object.count never reaches to_schema; pinned by
+    # tests/test_r06_dedup_routes.py), and normalise_json only consumes
+    # .schema, so inferring over 1k distinct docs instead of 100k rows
+    # removes the dominant part of this call's cost on replicated
+    # corpora. Strict-mode inference still raises on any invalid cell
+    # (it is present in the distinct set too); only the row index in
+    # the error text refers to the distinct stream.
+    dedup_candidate = (
+        "__pgs_cell" not in df.columns
+        and "__pgs_norm" not in df.columns
+        # tiny frames (unit replays, the <=100-row decode queries) skip
+        # the sampling job outright: partition count is a free proxy
+        # for "big enough that one extra small job can pay for itself"
+        and df.rdd.getNumPartitions() >= 8
+    )
+    sample_cap = 10_000
+    if dedup_candidate:
+        s = (
+            df.select(F.col(column).alias("__pgs_cell"))
+            .limit(sample_cap)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("__pgs_cell").alias("d"),
+            )
+            .first()
+        )
+        dedup_candidate = s["n"] >= sample_cap and s["d"] <= 0.5 * s["n"]
+    uniq = None
+    if dedup_candidate:
+        # materialise the distinct cells ONCE (localCheckpoint): the
+        # safety count, the optional inference pass, and the broadcast
+        # build all read it without recomputing the distinct shuffle.
+        # A lying sample wastes this rollup but never produces a wrong
+        # answer or an oversized broadcast (budget check below).
+        uniq = (
+            df.select(F.col(column).alias("__pgs_cell"))
+            .where(F.col("__pgs_cell").isNotNull())
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # broadcast-relation budget, not a tuning knob: past this the
+        # executors would each hold the full mapped table
+        if uniq.count() > 200_000:
+            uniq = None
+
     if avro_schema is None:
         # single inference pass, Avro forced (expressions.rs:489-511)
         import dataclasses
 
         avro_cfg = dataclasses.replace(config, avro=True)
-        avro_schema = infer_json_schema(df, column, avro_cfg).schema
+        infer_src = uniq if uniq is not None else df
+        infer_col = "__pgs_cell" if uniq is not None else column
+        avro_schema = infer_json_schema(
+            infer_src, infer_col, avro_cfg
+        ).schema
 
     spark = df.sparkSession
     schema_bc = spark.sparkContext.broadcast(json.dumps(avro_schema))
@@ -105,41 +157,6 @@ def normalise_json(
         for col in batches:
             yield col.map(one)
 
-    # Distinct-route (guide §8 "decide with small rows"): normalisation
-    # is a pure function of the cell under a fixed schema+config, so a
-    # corpus with heavy document replication (dedup-before-normalise is
-    # the normal LLM-pipeline shape; the reference's own labels macro
-    # bench is 1000 distinct docs x 100 copies) can run the Python
-    # kernel once per DISTINCT cell and broadcast-join the results
-    # back, instead of once per row per task. Guarded by a cheap
-    # 10k-row sample (one tiny job): only frames that are provably
-    # replication-heavy take the distinct shuffle, and a safety count
-    # on the distinct side falls back to the direct path when the
-    # sample lied (wasted one rollup, never a wrong answer or an
-    # oversized broadcast). High-cardinality corpora keep today's
-    # single-pass plan with no extra full scan.
-    dedup_candidate = (
-        "__pgs_cell" not in df.columns
-        and "__pgs_norm" not in df.columns
-        # tiny frames (unit replays, the <=100-row decode queries) skip
-        # the sampling job outright: partition count is a free proxy
-        # for "big enough that one extra small job can pay for itself"
-        and df.rdd.getNumPartitions() >= 8
-    )
-    dedup_map = None
-    sample_cap = 10_000
-    if dedup_candidate:
-        s = (
-            df.select(F.col(column).alias("__pgs_cell"))
-            .limit(sample_cap)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.approx_count_distinct("__pgs_cell").alias("d"),
-            )
-            .first()
-        )
-        dedup_candidate = s["n"] >= sample_cap and s["d"] <= 0.5 * s["n"]
-
     dtype = None
     if decode:
         from ..config import MAP_ENCODING_ENTRIES, MAP_ENCODING_KV
@@ -159,30 +176,23 @@ def normalise_json(
             avro_schema, kv_encoding=norm.map_encoding == MAP_ENCODING_KV
         )
 
-    if dedup_candidate:
-        mapped = (
-            df.select(F.col(column).alias("__pgs_cell"))
-            .where(F.col("__pgs_cell").isNotNull())
-            .distinct()
-            .withColumn("__pgs_norm", _normalise(F.col("__pgs_cell")))
+    dedup_map = None
+    if uniq is not None:
+        # distinct-route (guide §8 "decide with small rows"): the
+        # Python kernel — and the from_json decode — run once per
+        # DISTINCT cell (the checkpointed `uniq`); rows receive their
+        # result through the broadcast join below. Route choice cannot
+        # change results: normalisation is a pure function of the cell
+        # under a fixed schema+config (pinned by
+        # tests/test_r06_dedup_routes.py: route parity plain + decode,
+        # null/blank/unparseable via the join).
+        dedup_map = uniq.withColumn(
+            "__pgs_norm", _normalise(F.col("__pgs_cell"))
         )
         if dtype is not None:
-            # decode on the distinct side too: from_json parses each
-            # DISTINCT document once; rows receive the decoded struct
-            # through the broadcast join
-            mapped = mapped.withColumn(
+            dedup_map = dedup_map.withColumn(
                 "__pgs_norm", F.from_json(F.col("__pgs_norm"), dtype)
             )
-        # materialise ONCE (localCheckpoint): the safety count and the
-        # broadcast build would otherwise each recompute the distinct
-        # shuffle + Python stage
-        mapped = mapped.localCheckpoint(eager=True)
-        # broadcast-relation budget, not a tuning knob: past this the
-        # executors would each hold the full mapped table. A lying
-        # sample wastes this rollup but never produces a wrong answer
-        # or an oversized broadcast.
-        if mapped.count() <= 200_000:
-            dedup_map = mapped
 
     if dedup_map is not None:
         result = (

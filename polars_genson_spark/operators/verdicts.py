@@ -221,6 +221,25 @@ def validate_corpus(
         )
     violations = violations.persist()
 
+    # ---- drift histogram, submitted CONCURRENTLY (guide §2.6) ----
+    # The drift rollup and the violations materialisation are
+    # independent jobs; running them from two driver threads lets the
+    # scheduler back-fill the tail of one with tasks of the other
+    # (FIFO scheduling gives exactly that). The violations count below
+    # warms the persisted frame it must materialise anyway (every
+    # verdict assembly reads it); the drift result is joined after.
+    drift_future = None
+    drift_pool = None
+    if cfg.check_drift:
+        from concurrent.futures import ThreadPoolExecutor
+
+        drift_pool = ThreadPoolExecutor(max_workers=1)
+        drift_src = drift_reference if drift_reference is not None else df
+        drift_future = drift_pool.submit(
+            lambda: token_id_histogram(drift_src, cfg).collect()
+        )
+        violations.count()  # overlaps with the drift job
+
     # ---- per-source violation counts from the persisted frame ----
     is_check = lambda name: (c("check") == name).cast("long")  # noqa: E731
     count_cols = []
@@ -240,10 +259,13 @@ def validate_corpus(
         else None
     )
 
-    # ---- drift (KB-sized rollup → driver) ----
+    # ---- drift (KB-sized rollup → driver; job launched above) ----
     drift: list[dict] = []
-    if cfg.check_drift:
-        hist = token_id_histogram(drift_reference or df, cfg).collect()
+    if drift_future is not None:
+        try:
+            hist = drift_future.result()
+        finally:
+            drift_pool.shutdown(wait=False)
         drift = drift_from_histogram((r.asDict() for r in hist), cfg)
     if drift:
         drift_df = spark.createDataFrame(
