@@ -50,8 +50,10 @@ class ValidationReport:
     drift: list[dict]
     summary: dict[str, Any] = field(default_factory=dict)
     # the input frame validate_corpus persisted for its multi-pass scan
-    # (None when the caller had already cached it)
+    # (None when the caller had already cached it) plus any small
+    # intermediate caches (the stats rollup) it warmed for overlap
     _input_cache: DataFrame | None = None
+    _aux_caches: list[DataFrame] = field(default_factory=list)
 
     def passed(self) -> bool:
         return bool(self.summary.get("all_passed"))
@@ -60,6 +62,9 @@ class ValidationReport:
         if self._input_cache is not None:
             self._input_cache.unpersist()
             self._input_cache = None
+        for c in self._aux_caches:
+            c.unpersist()
+        self._aux_caches = []
 
 
 def validate_corpus(
@@ -233,12 +238,18 @@ def validate_corpus(
     if cfg.check_drift:
         from concurrent.futures import ThreadPoolExecutor
 
-        drift_pool = ThreadPoolExecutor(max_workers=1)
+        drift_pool = ThreadPoolExecutor(max_workers=2)
         drift_src = drift_reference if drift_reference is not None else df
         drift_future = drift_pool.submit(
             lambda: token_id_histogram(drift_src, cfg).collect()
         )
-        violations.count()  # overlaps with the drift job
+        # the stats rollup is independent too: persist it (20-ish rows)
+        # and warm it from the second pool slot, so the three suite jobs
+        # (drift / stats / violations+dup) run concurrently and the
+        # final verdict assembly only joins cached results
+        base = base.persist()
+        drift_pool.submit(base.count)
+        violations.count()  # overlaps with the drift + stats jobs
 
     # ---- per-source violation counts from the persisted frame ----
     is_check = lambda name: (c("check") == name).cast("long")  # noqa: E731
@@ -317,6 +328,7 @@ def validate_corpus(
         violations=violations,
         drift=drift,
         _input_cache=df if _own_cache else None,
+        _aux_caches=[base] if cfg.check_drift else [],
     )
     return report
 
