@@ -797,13 +797,15 @@ def _with_ann_recall(ann, exact):
     fraction of the exact neighbour list the ANN list captured (constant
     across an id_a's rows). Pins result QUALITY in the driver's value
     hash, not just determinism of the bucketing."""
-    # both legs feed two consumers (hits join + final projection);
-    # localCheckpoint (not persist) so the bucket self-join / brute-force
-    # scoring runs once AND the cached blocks are GC-freed with the
-    # DataFrame reference — repeated driver/bench invocations don't
-    # accumulate pinned storage
-    ann = ann.localCheckpoint(eager=True)
-    exact = exact.localCheckpoint(eager=True)
+    # both legs feed two consumers (hits join + final projection). No
+    # materialisation at all (r06, guide §1.2/§5): the wrapper only
+    # ever runs on oracle-sized slices (≤200-300 vectors by design —
+    # recall is pinned against brute force, which caps the input), so
+    # recomputing the small subtrees inside ONE job is cheaper than the
+    # two eager localCheckpoint jobs were (A/B at the 200-vector bench
+    # slice: 1.79s → 0.91s per materialisation, results identical;
+    # persist variants measured in between and leak pinned blocks
+    # across bench reps).
     hits = (
         ann.join(exact.select("id_a", "id_b"), ["id_a", "id_b"])
         .groupBy("id_a")
@@ -825,7 +827,11 @@ def q_embedding_topk_lsh(spark, sf_dir):
     from polars_genson_spark.operators.similarity import lsh_topk, pairwise_topk
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    ann = lsh_topk(e, dim=64, k=3)  # testdata embeddings are 64-dim
+    # cache_entries=False for this fixed 200-vector slice: recomputing
+    # the 1600-row tagged table per self-join side is cheaper than its
+    # persist round-trip (operator default stays True — the right
+    # choice for corpus-scale inputs). Same rows either way.
+    ann = lsh_topk(e, dim=64, k=3, cache_entries=False)
     exact = pairwise_topk(e, k=3)  # 200-vector slice: O(N²) is oracle-sized
     return _with_ann_recall(ann, exact)
 
@@ -845,7 +851,10 @@ def q_embedding_near_dupes(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
     # synthetic embeddings are near-orthogonal; 0.3 yields a small
     # non-empty candidate set so the rows-only check exercises real output
-    return embedding_near_duplicates(e, dim=64, threshold=0.3)
+    # (cache_entries=False: fixed-slice reasoning as the LSH query)
+    return embedding_near_duplicates(
+        e, dim=64, threshold=0.3, cache_entries=False
+    )
 
 
 def q_embedding_topk_ivf(spark, sf_dir):
@@ -863,7 +872,10 @@ def q_embedding_topk_ivf(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     cents = _hyperplanes(64, 8, seed=7)
-    ann = ivf_topk(e, dim=64, k=3, n_probe=2, centroids=cents)
+    # cache_entries=False: same fixed-slice reasoning as the LSH query
+    ann = ivf_topk(
+        e, dim=64, k=3, n_probe=2, centroids=cents, cache_entries=False
+    )
     return _with_ann_recall(ann, pairwise_topk(e, k=3))
 
 
