@@ -364,11 +364,12 @@ def q_word_jaccard_pairs(spark, sf_dir):
     cross-product — a hot shingle like "the" linked every doc)."""
     from polars_genson_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = (
+    d = _spread(
+        spark,
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 300)
-        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    )
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+    )  # spread: the shingle chain is the cost; the slice scan is 1 task
     out = ngram_jaccard_pairs(d, n=3, min_jaccard=0.5, df_max=5)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
@@ -389,11 +390,12 @@ def q_minhash_verified_pairs(spark, sf_dir):
         verify_pairs_jaccard,
     )
 
-    d = (
+    d = _spread(
+        spark,
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 500)
-        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    )
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+    )  # spread: shingle+signature map work, 1-task slice scan otherwise
     cand = minhash_candidates(d, num_perm=32, bands=16, min_jaccard=0.0)
     out = verify_pairs_jaccard(cand, d, min_jaccard=0.5)
     return out.select(
@@ -414,11 +416,12 @@ def q_simhash_verified_pairs(spark, sf_dir):
         verify_pairs_jaccard,
     )
 
-    d = (
+    d = _spread(
+        spark,
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 500)
-        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    )
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+    )  # spread: same reasoning as q_minhash_verified_pairs
     cand = simhash_candidates(d, max_hamming=15, n_chunks=16)
     out = verify_pairs_jaccard(cand, d, min_jaccard=0.5)
     return out.select(
@@ -770,7 +773,12 @@ def q_fingerprint_verified(spark, sf_dir):
     pads = base.where(F.col("doc_id") < 50).select(
         F.concat(F.lit("  "), F.col("text"), F.lit("  ")).alias("text")
     )
-    aug = base.select("text").unionByName(copies).unionByName(pads)
+    # spread: the rolling 16-char shingle transform (up to 4096
+    # xxhash64(substr) per doc) otherwise runs on the 1-2 tasks the
+    # one-file slice scan provides — measured 17.4s -> ~1s at sf1.0
+    aug = _spread(
+        spark, base.select("text").unionByName(copies).unionByName(pads)
+    )
 
     fp = with_fingerprint(aug).withColumn(
         "_norm",
@@ -839,7 +847,9 @@ def q_embedding_topk_lsh(spark, sf_dir):
 def q_simhash_near_pairs(spark, sf_dir):
     from polars_genson_spark.operators.dedup import simhash_candidates
 
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    d = _spread(
+        spark, _t(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    )  # spread: same reasoning as q_minhash_verified_pairs
     return simhash_candidates(d, max_hamming=3)
 
 
@@ -910,11 +920,12 @@ def q_multimodal_features(spark, sf_dir):
 def q_minhash_near_dupes(spark, sf_dir):
     from polars_genson_spark.operators.dedup import minhash_candidates
 
-    d = (
+    d = _spread(
+        spark,
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") < 500)
-        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-    )
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+    )  # spread: same reasoning as q_minhash_verified_pairs
     return minhash_candidates(d, num_perm=32, bands=16, min_jaccard=0.3)
 
 

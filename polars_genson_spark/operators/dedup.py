@@ -167,13 +167,24 @@ def minhash_signatures(
     stays small (flat agg list, no nested higher-order lambdas), unlike
     the per-row array formulation in :func:`with_minhash`.
     """
+    # explode_outer, not explode: the shingles array is never null or
+    # empty by construction (_raw_shingles falls back to a 1-element
+    # whole-text shingle), and plain explode makes
+    # InferFiltersFromGenerate insert a size()>0 filter BELOW the
+    # generate that re-evaluates the split→zip→distinct chain a second
+    # time per row (same fix as decontaminate._shingle_hash_rows)
     sh = with_shingles(df, text_col, shingle_n).select(
-        F.col(id_col).alias("id"), F.explode("shingles").alias("shingle")
+        F.col(id_col).alias("id"),
+        F.explode_outer("shingles").alias("shingle"),
     )
-    h = F.xxhash64("shingle")
-    sig = sh.groupBy("id").agg(
+    # hash the STRING once per exploded row in a projection BELOW the
+    # aggregate: inlining xxhash64(shingle) into every per-permutation
+    # agg expression re-hashed the string num_perm times per row (the
+    # docstring's "hashed once" contract, actually enforced — r06)
+    hashed = sh.select("id", F.xxhash64("shingle").alias("_h"))
+    sig = hashed.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(h, F.lit(i))).alias(f"_p{i}")
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_p{i}")
             for i in range(num_perm)
         ]
     )
@@ -457,10 +468,26 @@ def ngram_jaccard_pairs(
     posting list of length L contributes L² candidate pairs, so the cap
     bounds the worst shingle's contribution to df_max².
     """
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"), "shingles"
+    sh0 = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("id"), "shingles"
     )
-    inv = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    if cache_entries:
+        # persist the shingle ARRAYS before anything consumes them: the
+        # split→zip→distinct chain (array_distinct over string arrays is
+        # quadratic in shingle count) is by far the dominant cost, and
+        # un-cached the hot-shingle rollup, the anti-join, the per-doc
+        # recount, and the self-join each re-evaluated it (the cold
+        # first run of the 300-doc bench slice measured ~19s of exactly
+        # that; the old persist sat above the df_max block and only
+        # helped the final self-join).
+        sh0 = sh0.persist()
+    # explode_outer: shingles is never null/empty by construction — see
+    # minhash_signatures; avoids the InferFiltersFromGenerate re-eval
+    inv = sh0.select(
+        "id",
+        F.size("shingles").alias("n_sh"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
     if df_max is not None:
         # hot-shingle list is tiny (only shingles with df >= cap) → the
         # anti-join broadcasts; the denominator is recomputed over the
@@ -524,8 +551,18 @@ def verify_pairs_jaccard(
     distinct word n-grams. Returns (id_a, id_b, jaccard) for pairs at or
     above ``min_jaccard`` (jaccard rounded to 6 places, matching
     :func:`ngram_jaccard_pairs`)."""
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("_vid"), F.col("shingles").alias("_vsh")
+    # persist: both join legs consume the shingle arrays, and the
+    # split→zip→distinct chain would otherwise be evaluated once per
+    # leg (it dominates this operator's cold cost). Spill-backed; at
+    # very large |df| with few candidates, restricting df to the pair
+    # ids first would be cheaper still — candidate sets after LSH are
+    # collision-rate-sized, so the cache is bounded in practice.
+    sh = (
+        with_shingles(df, text_col, n)
+        .select(
+            F.col(id_col).alias("_vid"), F.col("shingles").alias("_vsh")
+        )
+        .persist()
     )
     joined = (
         pairs.select("id_a", "id_b")
