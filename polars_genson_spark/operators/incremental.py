@@ -213,16 +213,37 @@ def _grouped_partials(
         nodes: dict[Any, dict] = {}
         counts: dict[Any, int] = {}
         errors: dict[Any, str | None] = {}
+        # first-occurrence (group, cell) cache — same contract as the
+        # ungrouped fold's cell cache in infer.partition_summaries:
+        # repeats can only bump object.count (never read by to_schema,
+        # stripped by summary_key), so they skip parse+observe and
+        # count via the cached flag; row order, per-group processed
+        # counts and strict-mode error indexes are exactly preserved.
+        # Byte-budgeted against adversarially-unique corpora.
+        cell_cache: dict[tuple, bool] = {}
+        cache_budget = 48 * 1024 * 1024
         for pdf in batches:
             for grp, cell in zip(pdf[group_col], pdf[column]):
                 if errors.get(grp) is not None:
                     continue
+                key = (grp, cell)
+                hit = cell_cache.get(key)
+                if hit is not None:
+                    counts[grp] = counts.get(grp, 0) + hit
+                    continue
                 node = nodes.setdefault(grp, S.new_summary())
                 try:
-                    if _observe_cell(node, cell, cfg, counts.get(grp, 0)):
+                    ok = _observe_cell(node, cell, cfg, counts.get(grp, 0))
+                    if ok:
                         counts[grp] = counts.get(grp, 0) + 1
                 except SchemaInferenceError as e:
                     errors[grp] = str(e)
+                    continue
+                if cache_budget > 0:
+                    cache_budget -= (
+                        len(cell) if isinstance(cell, str) else 0
+                    ) + 80
+                    cell_cache[key] = ok
         if nodes:
             yield pd.DataFrame(
                 {
