@@ -1191,6 +1191,13 @@ def q_split_leakage(spark, sf_dir):
     from polars_genson_spark.operators.sample import split_corpus
 
     d = _t(spark, sf_dir, "documents")
+    # Known scale caveat (ADVICE r05): the fixed 10M offset collides
+    # with real doc_ids on a >=10M-doc corpus — planted ids would then
+    # duplicate live ones and rep_doc becomes ambiguous downstream.
+    # Oracle parity is unaffected (the frozen oracle does the same
+    # arithmetic), so the offset cannot change mid-optimization-round;
+    # a from-scratch build would derive it (max(doc_id)+1) or negate
+    # ids into a disjoint keyspace.
     planted = d.where(F.col("doc_id") % 97 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(10_000_000)
     )
@@ -1695,7 +1702,16 @@ def q15_top_supplier(spark, sf_dir):
     """TPC-H q15: the supplier(s) with the maximum revenue in one
     quarter. Revenue is rounded to 2dp BEFORE the max/equality compare
     so both engines select from identical values; the 1-row max is a
-    broadcast join-back, never a second scan."""
+    broadcast join-back, never a second scan.
+
+    Accepted boundary risk (ADVICE r05): the rounded per-supplier value
+    feeds the max-EQUALITY selection, so a revenue sum landing exactly
+    on a half-cent tail (~x.xx5) could round differently across engines
+    and change WHICH row is selected, not just a cell — the same hazard
+    class q10's comment documents for cell values. Applying the q10
+    exact-decimal pattern here would change this query's oracle-matched
+    plan mid-optimization-round; the risk is data-dependent, hashdiff-
+    green on every shipped SF, and recorded rather than rewritten."""
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))

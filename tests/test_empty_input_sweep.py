@@ -40,6 +40,13 @@ GLOBAL_AGG = {
     "q19_disjunctive_bands",
     "fingerprint_verified",
 }
+# Known engine difference, recorded not tested (ADVICE r05): Spark's
+# Expand-based GROUPING SETS (rollup_revenue_region, cube_status_flag)
+# yield 0 rows on an EMPTY relation, while DuckDB emits the grand-total
+# row ([(None, None, None, 0)]). The sweep below pins only the
+# Spark-side 0-row behavior; the divergence is unreachable in the
+# oracle gates (they run on non-empty SF data) and is a documented
+# SQL-dialect difference, not a bug in either engine.
 
 
 @pytest.fixture(scope="module")
